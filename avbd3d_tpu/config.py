@@ -1,0 +1,92 @@
+"""Solver configuration (the three config tiers of the reference).
+
+The reference splits configuration across compile-time constants
+(``solver.h:25-36``), runtime solver params (``solver.cpp:240-253``), and
+module-local tuning constants (``manifold.cpp:17-23``, ``collision.cpp:18-23``).
+Here they all live in one frozen dataclass that is treated as a *static*
+argument to ``jit`` — changing any field re-traces, which is the TPU analog of
+recompiling the C++.
+
+``Capacity`` holds the static-shape capacity plan (max candidate pairs, max
+contact degree per body) that replaces the reference's dynamic allocation of
+``Manifold`` objects (solver.cpp:261-270).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from jax.tree_util import register_static
+
+FLT_MAX = 3.4028235e38
+
+
+@register_static
+@dataclasses.dataclass(frozen=True)
+class SolverParams:
+    # --- runtime params (solver.cpp:240-253) ---
+    dt: float = 1.0 / 60.0
+    gravity: tuple = (0.0, -10.0, 0.0)
+    iterations: int = 10
+    alpha: float = 0.95
+    beta: float = 1.0e5
+    gamma: float = 0.99
+    post_stabilize: bool = False
+
+    # --- compile-time constants (solver.h:25-36) ---
+    penalty_min: float = 2.0e4
+    penalty_max: float = 1.0e9
+    collision_margin: float = 0.02
+    stick_thresh: float = 0.02
+    penetration_slop: float = 0.005
+
+    # --- manifold tuning constants (manifold.cpp:17-23, solver.cpp:29) ---
+    normal_contact_margin: float = 0.01
+    stick_anchor_max_drift: float = 0.015
+    stick_normal_min_dot: float = 0.995
+    warmstart_max_drift: float = 0.08
+    warmstart_normal_min_dot: float = 0.9
+    normal_force_cap: float = 5000.0
+    manifold_penalty_cap: float = 2.0e6
+
+    # --- dual-ramp blending (solver.cpp:94-125) ---
+    angular_beta_scale: float = 0.01
+
+    # --- integration damping / clamps (solver.cpp:85-92, 433-454) ---
+    linear_damping: float = 0.995
+    angular_damping: float = 0.97
+    max_angular_speed: float = 80.0
+
+    # --- TPU-rebuild-specific knobs (no reference equivalent) ---
+    # Under-relaxation for the Jacobi (all-bodies-at-once) primal update.
+    # The C++ primal pass is Gauss-Seidel (solver.cpp:344-409); a parallel
+    # Jacobi update can overshoot when two touching bodies both correct the
+    # full error, so we allow scaling the pose delta.
+    relaxation: float = 1.0
+
+    def replace(self, **kw) -> "SolverParams":
+        return dataclasses.replace(self, **kw)
+
+
+@register_static
+@dataclasses.dataclass(frozen=True)
+class Capacity:
+    """Static-shape capacity plan for one scene.
+
+    The reference allocates manifolds dynamically; a jit-compiled TPU step
+    needs fixed buffer sizes.  Overflows are counted in diagnostics — never
+    silent.
+    """
+
+    max_pairs: int = 64        # candidate broadphase pairs (P slots)
+    max_degree: int = 16       # max contact pairs incident to one body (D)
+    joint_degree: int = 0      # max joints incident to one body
+    spring_degree: int = 0     # max springs incident to one body
+
+    def replace(self, **kw) -> "Capacity":
+        return dataclasses.replace(self, **kw)
+
+
+def default_params() -> SolverParams:
+    """defaultParams() of the reference (solver.cpp:240-253)."""
+    return SolverParams()

@@ -1,0 +1,474 @@
+"""Scene library: preset world builders (reference ``source/scenes.h``).
+
+Scene construction is host-side numpy (it runs once); the result is a
+static-shape ``World`` pytree plus the per-scene ``SolverParams`` overrides
+and a ``Capacity`` plan.  Body creation order matches the reference exactly
+(body index i has reference id i + 1; the reference prints newest-first).
+
+The reference's "Rod (WIP)" and "Soft Body (WIP)" scenes declare joints and
+springs only in comments (scenes.h:134-179) — the parity scenes therefore
+contain bodies only, and the wired-up constraint demonstrations live in the
+extension scenes ``RodJointed`` and ``SoftGrid``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Capacity, SolverParams
+from ..state import (
+    Bodies,
+    INACTIVE_KEY,
+    World,
+    empty_contacts,
+    empty_joints,
+    empty_springs,
+    zero_diagnostics,
+)
+
+
+@dataclasses.dataclass
+class Scene:
+    name: str
+    world: World
+    params: SolverParams
+    cap: Capacity
+    n_real: int                  # real (non-padding) bodies, for printing
+
+
+class SceneBuilder:
+    """Imperative scene construction API mirroring the reference constructors
+    (``new Rigid``/``new Joint``/``new Spring``/``new IgnoreCollision``)."""
+
+    def __init__(self):
+        self.size = []
+        self.density = []
+        self.friction = []
+        self.pos = []
+        self.quat = []
+        self.linvel = []
+        self.angvel = []
+        self.joints = []        # (a, b, ra, rb, rest_quat, k_lin, k_ang)
+        self.springs = []       # (a, b, ra, rb, rest, k)
+        self.ignores = []       # (a, b)
+
+    def add_body(self, size, density, friction, pos, quat=(0, 0, 0, 1),
+                 linvel=(0, 0, 0), angvel=(0, 0, 0)) -> int:
+        """Mirrors Rigid::Rigid (rigid.cpp:12-41); returns the body index."""
+        self.size.append(size)
+        self.density.append(density)
+        self.friction.append(friction)
+        self.pos.append(pos)
+        self.quat.append(quat)
+        self.linvel.append(linvel)
+        self.angvel.append(angvel)
+        return len(self.size) - 1
+
+    def add_joint(self, a, b, anchor_a, anchor_b, k_lin=np.inf, k_ang=np.inf):
+        """Body-body weld joint (joint.cpp:11-38).  Captures the current
+        relative orientation as the rest pose."""
+        qa = np.asarray(self.quat[a], np.float64)
+        qb = np.asarray(self.quat[b], np.float64)
+        rest = _quat_mul_np(_quat_conj_np(qa), qb)
+        self.joints.append((a, b, anchor_a, anchor_b, rest, k_lin, k_ang))
+
+    def add_world_joint(self, b, world_anchor, k_lin=np.inf, k_ang=np.inf):
+        """Body-world weld joint (joint.cpp:41-60)."""
+        qb = np.asarray(self.quat[b], np.float64)
+        rb = _quat_rotate_np(_quat_conj_np(qb),
+                             np.asarray(world_anchor) - np.asarray(self.pos[b]))
+        self.joints.append((-1, b, world_anchor, rb, qb, k_lin, k_ang))
+
+    def add_spring(self, a, b, anchor_a, anchor_b, stiffness, rest=-1.0):
+        """Distance spring (spring.cpp:10-30); rest < 0 uses current length."""
+        if rest < 0.0:
+            pa = np.asarray(self.pos[a]) + _quat_rotate_np(
+                np.asarray(self.quat[a], np.float64), np.asarray(anchor_a))
+            pb = np.asarray(self.pos[b]) + _quat_rotate_np(
+                np.asarray(self.quat[b], np.float64), np.asarray(anchor_b))
+            rest = float(np.linalg.norm(pa - pb))
+        self.springs.append((a, b, anchor_a, anchor_b, rest, stiffness))
+
+    def ignore_collision(self, a, b):
+        """Marker suppressing manifolds for the pair (ignorecollision.h)."""
+        self.ignores.append((a, b))
+
+    # ------------------------------------------------------------------
+    def build(self, params: SolverParams, max_pairs=None, max_degree=None) -> tuple:
+        n_real = len(self.size)
+        # Pad body count to a multiple of 8 (>= 8) for TPU-friendly layouts.
+        n = max(8, -(-max(n_real, 1) // 8) * 8)
+        pad = n - n_real
+
+        size = np.asarray(self.size + [[0.0] * 3] * pad, np.float32).reshape(n, 3)
+        density = np.asarray(self.density + [0.0] * pad, np.float32)
+        friction = np.asarray(self.friction + [0.0] * pad, np.float32)
+        pos = np.asarray(self.pos + [[0.0, -1e6, 0.0]] * pad, np.float32).reshape(n, 3)
+        quat = np.asarray(self.quat + [[0, 0, 0, 1]] * pad, np.float32).reshape(n, 4)
+        linvel = np.asarray(self.linvel + [[0.0] * 3] * pad, np.float32).reshape(n, 3)
+        angvel = np.asarray(self.angvel + [[0.0] * 3] * pad, np.float32).reshape(n, 3)
+
+        # Mass properties (rigid.cpp:23-40).
+        volume = size[:, 0] * size[:, 1] * size[:, 2]
+        mass = volume * density
+        inv_mass = np.where(mass > 0.0, 1.0 / np.maximum(mass, 1e-30), 0.0)
+        sx2, sy2, sz2 = size[:, 0] ** 2, size[:, 1] ** 2, size[:, 2] ** 2
+        inertia = (mass[:, None] / 12.0) * np.stack(
+            [sy2 + sz2, sx2 + sz2, sx2 + sy2], axis=-1
+        )
+        inv_inertia = np.where(inertia > 0.0, 1.0 / np.maximum(inertia, 1e-30), 0.0)
+        inertia = np.where(mass[:, None] > 0.0, inertia, 0.0)
+        radius = np.linalg.norm(size, axis=-1) * 0.5
+        # Padding bodies can never pass the sphere test.
+        radius[n_real:] = -1e9
+
+        bodies = Bodies(
+            pos=jnp.asarray(pos), quat=jnp.asarray(quat),
+            linvel=jnp.asarray(linvel), angvel=jnp.asarray(angvel),
+            prev_linvel=jnp.asarray(linvel), prev_angvel=jnp.asarray(angvel),
+            size=jnp.asarray(size), mass=jnp.asarray(mass),
+            inv_mass=jnp.asarray(inv_mass.astype(np.float32)),
+            inertia=jnp.asarray(inertia.astype(np.float32)),
+            inv_inertia=jnp.asarray(inv_inertia.astype(np.float32)),
+            friction=jnp.asarray(friction), radius=jnp.asarray(radius),
+        )
+
+        # --- joints ---
+        n_j = len(self.joints)
+        j_deg = 0
+        if n_j:
+            deg = np.zeros(n, np.int32)
+            for (a, b, *_rest) in self.joints:
+                if a >= 0:
+                    deg[a] += 1
+                deg[b] += 1
+            j_deg = int(deg.max())
+        joints = empty_joints(n, n_j, j_deg)
+        if n_j:
+            ja = np.asarray([j[0] for j in self.joints], np.int32)
+            jb = np.asarray([j[1] for j in self.joints], np.int32)
+            joints = joints.replace(
+                body_a=jnp.asarray(ja),
+                body_b=jnp.asarray(jb),
+                r_a=jnp.asarray([j[2] for j in self.joints], jnp.float32),
+                r_b=jnp.asarray([j[3] for j in self.joints], jnp.float32),
+                rest_rel_quat=jnp.asarray([j[4] for j in self.joints], jnp.float32),
+                stiffness_lin=jnp.asarray([j[5] for j in self.joints], jnp.float32),
+                stiffness_ang=jnp.asarray([j[6] for j in self.joints], jnp.float32),
+                active=jnp.ones((n_j,), bool),
+            )
+            inc, side = _incidence_np(ja, jb, n, j_deg)
+            joints = joints.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
+
+        # --- springs ---
+        n_s = len(self.springs)
+        s_deg = 0
+        if n_s:
+            deg = np.zeros(n, np.int32)
+            for (a, b, *_r) in self.springs:
+                if a >= 0:
+                    deg[a] += 1
+                deg[b] += 1
+            s_deg = int(deg.max())
+        springs = empty_springs(n, n_s, s_deg)
+        if n_s:
+            sa = np.asarray([s[0] for s in self.springs], np.int32)
+            sb = np.asarray([s[1] for s in self.springs], np.int32)
+            springs = springs.replace(
+                body_a=jnp.asarray(sa),
+                body_b=jnp.asarray(sb),
+                r_a=jnp.asarray([s[2] for s in self.springs], jnp.float32),
+                r_b=jnp.asarray([s[3] for s in self.springs], jnp.float32),
+                rest=jnp.asarray([s[4] for s in self.springs], jnp.float32),
+                stiffness=jnp.asarray([s[5] for s in self.springs], jnp.float32),
+                active=jnp.ones((n_s,), bool),
+            )
+            inc, side = _incidence_np(sa, sb, n, s_deg)
+            springs = springs.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
+
+        # --- exclusions: any constrained pair never collides
+        # (rigid.cpp:61-69 via broadphase check, solver.cpp:266) ---
+        excl = set()
+        for (a, b, *_r) in self.joints + self.springs:
+            if a >= 0:
+                excl.add((min(a, b), max(a, b)))
+        for (a, b) in self.ignores:
+            excl.add((min(a, b), max(a, b)))
+        excl_keys = np.asarray(sorted(i * n + j for i, j in excl), np.int32)
+
+        # --- capacity plan ---
+        if max_pairs is None:
+            max_pairs = _auto_pairs(pos[:n_real], radius[:n_real])
+        max_pairs = int(min(max_pairs, n * n))
+        if max_degree is None:
+            max_degree = 32 if n_real > 256 else 16
+        cap = Capacity(
+            max_pairs=max_pairs,
+            max_degree=max_degree,
+            joint_degree=j_deg,
+            spring_degree=s_deg,
+        )
+
+        world = World(
+            bodies=bodies,
+            contacts=empty_contacts(max_pairs),
+            joints=joints,
+            springs=springs,
+            exclusion_keys=jnp.asarray(excl_keys),
+            step_index=jnp.int32(0),
+            diagnostics=zero_diagnostics(),
+        )
+        return world, params, cap, n_real
+
+
+def _auto_pairs(pos, radius) -> int:
+    """Initial-overlap-based candidate-pair capacity with generous slack."""
+    n = pos.shape[0]
+    if n <= 1:
+        return 8
+    if n <= 128:
+        return _ceil_pow2(max(16, n * 8))
+    # Large scenes: ~16 pairs per body covers dense pile packing.
+    return _ceil_pow2(n * 16)
+
+
+def _ceil_pow2(x: int) -> int:
+    return 1 << (int(x) - 1).bit_length()
+
+
+def _incidence_np(a_idx, b_idx, n, degree):
+    inc = np.full((n, degree), -1, np.int32)
+    side = np.zeros((n, degree), np.int8)
+    fill = np.zeros(n, np.int32)
+    for k in range(len(a_idx)):
+        for body, s in ((a_idx[k], 1), (b_idx[k], -1)):
+            if body < 0:
+                continue
+            inc[body, fill[body]] = k
+            side[body, fill[body]] = s
+            fill[body] += 1
+    return inc, side
+
+
+def _quat_mul_np(q1, q2):
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.asarray([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+
+
+def _quat_conj_np(q):
+    return np.asarray([-q[0], -q[1], -q[2], q[3]])
+
+
+def _quat_rotate_np(q, v):
+    qv = q[:3]
+    t = 2.0 * np.cross(qv, v)
+    return v + q[3] * t + np.cross(qv, t)
+
+
+def _axis_angle_np(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    half = angle * 0.5
+    s = math.sin(half)
+    return np.asarray([axis[0] * s, axis[1] * s, axis[2] * s, math.cos(half)])
+
+
+# ---------------------------------------------------------------------------
+# Scene definitions (scenes.h:23-179)
+# ---------------------------------------------------------------------------
+
+def _ground(sb: SceneBuilder):
+    """100 x 1 x 100 static slab at y = -0.5 (scenes.h:27-31)."""
+    sb.add_body((100, 1, 100), 0.0, 0.5, (0, -0.5, 0))
+
+
+def scene_empty():
+    sb = SceneBuilder()
+    return sb.build(SolverParams(), max_pairs=8)
+
+
+def scene_ground():
+    sb = SceneBuilder()
+    _ground(sb)
+    return sb.build(SolverParams(), max_pairs=8)
+
+
+def scene_stack():
+    """10-cube vertical stack (scenes.h:33-40)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    for i in range(10):
+        sb.add_body((1, 1, 1), 1.0, 0.5, (0, i * 1.1 + 0.5, 0))
+    return sb.build(SolverParams(), max_pairs=64)
+
+
+def scene_pyramid():
+    """10-level 2D pyramid (scenes.h:42-53)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    size = 10
+    for y in range(size):
+        for x in range(size - y):
+            x_pos = (x - (size - y - 1) * 0.5) * 1.1
+            y_pos = y * 1.05 + 0.5
+            sb.add_body((1, 1, 1), 1.0, 0.5, (x_pos, y_pos, 0))
+    return sb.build(SolverParams(), max_pairs=512)
+
+
+def scene_wall():
+    """8 x 8 running-bond brick wall (scenes.h:55-72)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    w, h = 8, 8
+    brick = (1.0, 0.5, 0.5)
+    spacing_x, spacing_y = 1.03, 0.52
+    base_y = brick[1] * 0.5
+    for i in range(h):
+        for j in range(w):
+            x_off = 0.0 if i % 2 == 0 else 0.5 * spacing_x
+            x = (j - (w - 1) * 0.5) * spacing_x + x_off
+            y = i * spacing_y + base_y
+            sb.add_body(brick, 1.0, 0.4, (x, y, -5))
+    return sb.build(SolverParams(), max_pairs=512)
+
+
+def scene_two_block_drop():
+    """Tip-land-settle regression scene (scenes.h:74-85)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    sb.add_body((1, 1, 1), 1.0, 0.5, (0, 0.5, 0))
+    tilt = _axis_angle_np((0, 0, 1), 0.45)
+    sb.add_body((1, 1, 1), 1.0, 0.5, (0.18, 2.2, 0), tilt, (0, 0, 0), (0, 0, 1))
+    return sb.build(SolverParams(), max_pairs=32)
+
+
+def _hash01(x: int) -> float:
+    """Exact uint32 xorshift-multiply hash of scenes.h:108-115."""
+    x &= 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x7FEB352D) & 0xFFFFFFFF
+    x ^= x >> 15
+    x = (x * 0x846CA68B) & 0xFFFFFFFF
+    x ^= x >> 16
+    return (x & 0x00FFFFFF) / 16777215.0
+
+
+def scene_stress1000():
+    """10x10x10 = 1000 falling cubes with deterministic jitter
+    (scenes.h:87-132) and the documented stress tuning."""
+    sb = SceneBuilder()
+    _ground(sb)
+    nx = ny = nz = 10
+    spacing_xz, spacing_y = 1.15, 2.0
+    start_y, jitter_xz, jitter_y = 20.0, 0.04, 0.25
+    for y in range(ny):
+        for z in range(nz):
+            for x in range(nx):
+                seed = (x + nx * (z + nz * y) + 1) & 0xFFFFFFFF
+                jx = (_hash01((seed * 9781) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+                jz = (_hash01((seed * 6271) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+                jy = _hash01((seed * 3343) & 0xFFFFFFFF) * jitter_y
+                px = (x - (nx - 1) * 0.5) * spacing_xz + jx
+                py = start_y + y * spacing_y + jy
+                pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
+                sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
+    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
+    return sb.build(params, max_pairs=16384, max_degree=32)
+
+
+def scene_rod():
+    """Reference parity: 15 segments, joints only declared in comments
+    (scenes.h:138-151) — bodies fall freely except the static anchor."""
+    sb = SceneBuilder()
+    for i in range(15):
+        sb.add_body((0.25, 1, 0.25), 0.0 if i == 0 else 1.0, 0.5, (0, 10.0 - i, 0))
+    return sb.build(SolverParams(), max_pairs=256)
+
+
+def scene_soft_body():
+    """Reference parity: 10x10 grid of cubes, constraints commented out
+    (scenes.h:153-179)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    w = h = 10
+    for i in range(w):
+        for j in range(h):
+            sb.add_body((0.5, 0.5, 0.5), 1.0, 0.3,
+                        (i * 0.6 - w * 0.3, j * 0.6 + 2.0, 0))
+    return sb.build(SolverParams(), max_pairs=2048)
+
+
+# --- extension scenes: the constraint system actually wired up -------------
+
+def scene_rod_jointed():
+    """The rod the reference intended: 15 segments welded end to end,
+    top segment static."""
+    sb = SceneBuilder()
+    prev = None
+    for i in range(15):
+        curr = sb.add_body((0.25, 1, 0.25), 0.0 if i == 0 else 1.0, 0.5,
+                           (0, 10.0 - i, 0))
+        if prev is not None:
+            sb.add_joint(prev, curr, (0, -0.5, 0), (0, 0.5, 0))
+        prev = curr
+    return sb.build(SolverParams(), max_pairs=256)
+
+
+def scene_soft_grid():
+    """The soft-body grid the reference intended: cubes welded softly to
+    neighbors, diagonal collisions ignored."""
+    sb = SceneBuilder()
+    _ground(sb)
+    w = h = 10
+    grid = [[0] * h for _ in range(w)]
+    for i in range(w):
+        for j in range(h):
+            grid[i][j] = sb.add_body((0.5, 0.5, 0.5), 1.0, 0.3,
+                                     (i * 0.6 - w * 0.3, j * 0.6 + 2.0, 0))
+    stiff = 1000.0
+    for i in range(w):
+        for j in range(h):
+            if i > 0:
+                sb.add_joint(grid[i - 1][j], grid[i][j], (0.3, 0, 0), (-0.3, 0, 0),
+                             k_lin=stiff, k_ang=stiff)
+            if j > 0:
+                sb.add_joint(grid[i][j - 1], grid[i][j], (0, 0.3, 0), (0, -0.3, 0),
+                             k_lin=stiff, k_ang=stiff)
+            if i > 0 and j > 0:
+                sb.ignore_collision(grid[i - 1][j - 1], grid[i][j])
+                sb.ignore_collision(grid[i - 1][j], grid[i][j - 1])
+    return sb.build(SolverParams(), max_pairs=2048)
+
+
+SCENES = {
+    "Empty": scene_empty,
+    "Ground": scene_ground,
+    "Stack": scene_stack,
+    "Pyramid": scene_pyramid,
+    "Wall": scene_wall,
+    "TwoBlockDrop": scene_two_block_drop,
+    "Stress1000": scene_stress1000,
+    "Rod (WIP)": scene_rod,
+    "Soft Body (WIP)": scene_soft_body,
+    # extensions beyond the reference scene list
+    "RodJointed": scene_rod_jointed,
+    "SoftGrid": scene_soft_grid,
+}
+
+SCENE_NAMES = list(SCENES.keys())
+
+
+def load_scene(name: str) -> Scene:
+    if name not in SCENES:
+        raise KeyError(f"unknown scene {name!r}; available: {SCENE_NAMES}")
+    world, params, cap, n_real = SCENES[name]()
+    return Scene(name=name, world=world, params=params, cap=cap, n_real=n_real)

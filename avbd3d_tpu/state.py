@@ -1,0 +1,264 @@
+"""SoA world state pytrees (L1 + constraint buffers of the engine).
+
+TPU-native replacement for the reference's intrusive linked lists of
+``Rigid``/``Force`` objects (``solver.h:48-109``, ``force.cpp:12-69``):
+
+- ``Bodies``    — structure-of-arrays body state, static bodies are rows with
+                  ``inv_mass == 0`` (rigid.cpp:24-25).
+- ``Contacts``  — fixed-capacity persistent contact cache keyed by the sorted
+                  body-pair key ``i * N + j``; replaces the per-step
+                  ``new Manifold`` / ``delete`` lifecycle (solver.cpp:261-296)
+                  and carries warmstart data (lambda/penalty/anchors/stick)
+                  across steps (manifold.cpp:71-175).
+- ``Joints``    — SoA 6-row weld joints (joint.h:14-48).
+- ``Springs``   — SoA 1-row distance springs (spring.h:13-38).
+- ``World``     — the full simulation state: one pytree, one ``step``.
+
+Everything is float32 / int32 with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .maths import quat_identity
+
+# Sentinel for an empty pair slot (sorts after every valid key).
+INACTIVE_KEY = np.int32(2**31 - 1)
+
+
+def _pytree(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Bodies:
+    """Per-body state, shape (N, ...).  Body i has reference id i + 1."""
+
+    # Dynamic state
+    pos: Any            # (N, 3)
+    quat: Any           # (N, 4) (x, y, z, w)
+    linvel: Any         # (N, 3)
+    angvel: Any         # (N, 3)
+    prev_linvel: Any    # (N, 3) — feeds the adaptive gravity weight
+    prev_angvel: Any    # (N, 3)
+    # Constant per-body parameters (kept in the pytree so a single World
+    # fully describes the simulation)
+    size: Any           # (N, 3) box extents
+    mass: Any           # (N,)
+    inv_mass: Any       # (N,)  0 => static body
+    inertia: Any        # (N, 3) body-local diagonal box inertia
+    inv_inertia: Any    # (N, 3)
+    friction: Any       # (N,)
+    radius: Any         # (N,) bounding-sphere radius = |size| / 2
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def dynamic(self):
+        return self.inv_mass > 0.0
+
+    def replace(self, **kw) -> "Bodies":
+        return dataclasses.replace(self, **kw)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Contacts:
+    """Persistent contact cache over P pair slots x 4 contact slots.
+
+    A slot is active when ``key != INACTIVE_KEY``; keys are kept sorted
+    ascending so cross-step matching is a vectorized ``searchsorted`` merge.
+    Rows are laid out 3 per contact (normal, tangent1, tangent2), i.e. row
+    ``4*c .. 4*c+2`` maps to manifold row base ``c*3`` of the reference
+    (manifold.cpp:66-69).
+    """
+
+    key: Any            # (P,) int32 = i * N + j, i < j, or INACTIVE_KEY
+    count: Any          # (P,) int32 number of valid contacts (0..4)
+    feature: Any        # (P, 4) int32 deterministic feature ids
+    r_a: Any            # (P, 4, 3) body-local contact point on body A
+    r_b: Any            # (P, 4, 3) body-local contact point on body B
+    normal: Any         # (P, 4, 3) world contact normal, B -> A
+    stick: Any          # (P, 4) bool static-friction latch
+    c0_n: Any           # (P, 4) cached normal violation for alpha-stabilization
+    c0_t: Any           # (P, 4, 2) cached tangential slips
+    lam: Any            # (P, 12) dual variables (3 rows per contact)
+    penalty: Any        # (P, 12) penalty stiffness per row
+
+    @property
+    def p(self) -> int:
+        return self.key.shape[0]
+
+    def replace(self, **kw) -> "Contacts":
+        return dataclasses.replace(self, **kw)
+
+
+def empty_contacts(max_pairs: int) -> Contacts:
+    p = max_pairs
+    return Contacts(
+        key=jnp.full((p,), INACTIVE_KEY, jnp.int32),
+        count=jnp.zeros((p,), jnp.int32),
+        feature=jnp.full((p, 4), -1, jnp.int32),
+        r_a=jnp.zeros((p, 4, 3), jnp.float32),
+        r_b=jnp.zeros((p, 4, 3), jnp.float32),
+        normal=jnp.zeros((p, 4, 3), jnp.float32),
+        stick=jnp.zeros((p, 4), bool),
+        c0_n=jnp.zeros((p, 4), jnp.float32),
+        c0_t=jnp.zeros((p, 4, 2), jnp.float32),
+        lam=jnp.zeros((p, 12), jnp.float32),
+        penalty=jnp.zeros((p, 12), jnp.float32),
+    )
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Joints:
+    """6-row weld joints: 3 anchor-coincidence + 3 relative-rotation rows.
+
+    ``body_a == -1`` encodes a body-to-world joint (joint.cpp:41-60).
+    ``stiffness_lin``/``stiffness_ang`` use +inf for hard rows (FLT_MAX in
+    the reference).  ``incidence``/``inc_side`` are the precomputed
+    body -> joint gather tables (joint topology is fixed per scene).
+    """
+
+    body_a: Any         # (J,) int32, -1 = world
+    body_b: Any         # (J,) int32
+    r_a: Any            # (J, 3) local anchor on A (world anchor if body_a=-1)
+    r_b: Any            # (J, 3) local anchor on B
+    rest_rel_quat: Any  # (J, 4) initial conj(qA) * qB
+    stiffness_lin: Any  # (J,)
+    stiffness_ang: Any  # (J,)
+    motor: Any          # (J,) stored for API parity; never nonzero upstream
+    lam: Any            # (J, 6)
+    penalty: Any        # (J, 6)
+    active: Any         # (J,) bool
+    incidence: Any      # (N, DJ) int32 joint index or -1
+    inc_side: Any       # (N, DJ) int8 +1 if body is A, -1 if body is B
+
+    @property
+    def j(self) -> int:
+        return self.body_b.shape[0]
+
+    def replace(self, **kw) -> "Joints":
+        return dataclasses.replace(self, **kw)
+
+
+def empty_joints(n_bodies: int, max_joints: int = 0, degree: int = 0) -> Joints:
+    j = max_joints
+    return Joints(
+        body_a=jnp.full((j,), -1, jnp.int32),
+        body_b=jnp.zeros((j,), jnp.int32),
+        r_a=jnp.zeros((j, 3), jnp.float32),
+        r_b=jnp.zeros((j, 3), jnp.float32),
+        rest_rel_quat=quat_identity((j,)),
+        stiffness_lin=jnp.full((j,), jnp.inf, jnp.float32),
+        stiffness_ang=jnp.full((j,), jnp.inf, jnp.float32),
+        motor=jnp.zeros((j,), jnp.float32),
+        lam=jnp.zeros((j, 6), jnp.float32),
+        penalty=jnp.full((j, 6), 2.0e4, jnp.float32),
+        active=jnp.zeros((j,), bool),
+        incidence=jnp.full((n_bodies, degree), -1, jnp.int32),
+        inc_side=jnp.zeros((n_bodies, degree), jnp.int8),
+    )
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Springs:
+    """1-row distance constraints C = |pA - pB| - rest (spring.cpp:33-56)."""
+
+    body_a: Any         # (S,) int32, -1 = world anchor
+    body_b: Any         # (S,) int32
+    r_a: Any            # (S, 3)
+    r_b: Any            # (S, 3)
+    rest: Any           # (S,)
+    stiffness: Any      # (S,)
+    lam: Any            # (S,)
+    penalty: Any        # (S,)
+    active: Any         # (S,) bool
+    incidence: Any      # (N, DS) int32 spring index or -1
+    inc_side: Any       # (N, DS) int8
+
+    @property
+    def s(self) -> int:
+        return self.body_b.shape[0]
+
+    def replace(self, **kw) -> "Springs":
+        return dataclasses.replace(self, **kw)
+
+
+def empty_springs(n_bodies: int, max_springs: int = 0, degree: int = 0) -> Springs:
+    s = max_springs
+    return Springs(
+        body_a=jnp.full((s,), -1, jnp.int32),
+        body_b=jnp.zeros((s,), jnp.int32),
+        r_a=jnp.zeros((s, 3), jnp.float32),
+        r_b=jnp.zeros((s, 3), jnp.float32),
+        rest=jnp.zeros((s,), jnp.float32),
+        stiffness=jnp.zeros((s,), jnp.float32),
+        lam=jnp.zeros((s,), jnp.float32),
+        penalty=jnp.full((s,), 2.0e4, jnp.float32),
+        active=jnp.zeros((s,), bool),
+        incidence=jnp.full((n_bodies, degree), -1, jnp.int32),
+        inc_side=jnp.zeros((n_bodies, degree), jnp.int8),
+    )
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class Diagnostics:
+    """Per-step stats mirroring Solver::Diagnostics (solver.h:155-164),
+    plus TPU-rebuild safety counters (capacity overflows, NaN sanitizations)."""
+
+    max_penetration: Any
+    max_constraint_violation: Any
+    max_linear_speed: Any
+    max_angular_speed: Any
+    max_normal_impulse: Any
+    active_contacts: Any
+    active_manifolds: Any
+    dynamic_bodies: Any
+    pair_overflow: Any       # candidate pairs dropped by capacity
+    degree_overflow: Any     # per-body incidence slots dropped
+    sanitized: Any           # non-finite states reset this step
+
+    def replace(self, **kw) -> "Diagnostics":
+        return dataclasses.replace(self, **kw)
+
+
+def zero_diagnostics() -> Diagnostics:
+    f0 = jnp.float32(0.0)
+    i0 = jnp.int32(0)
+    return Diagnostics(f0, f0, f0, f0, f0, i0, i0, i0, i0, i0, i0)
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class World:
+    """The whole simulation state: one pytree, advanced by one pure step."""
+
+    bodies: Bodies
+    contacts: Contacts
+    joints: Joints
+    springs: Springs
+    # Sorted int32 keys (i * N + j) of body pairs whose collisions are
+    # suppressed — the TPU equivalent of isConstrainedTo() returning true for
+    # jointed/spring-linked/ignored pairs (rigid.cpp:61-69,
+    # ignorecollision.h:14-23).
+    exclusion_keys: Any
+    step_index: Any          # int32
+    diagnostics: Diagnostics
+
+    def replace(self, **kw) -> "World":
+        return dataclasses.replace(self, **kw)

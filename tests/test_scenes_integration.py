@@ -1,0 +1,94 @@
+"""Golden-trace style integration tests (SURVEY.md §4).
+
+The reference ships no automated tests; its de-facto harness is headless
+runs of deterministic scenes judged on diagnostics envelopes (settling,
+penetration vs slop, no NaN).  These tests formalize that on the CPU
+backend with the smaller scenes (Stress1000 stays on TPU in bench.py).
+"""
+
+import numpy as np
+import jax
+
+from avbd3d_tpu import load_scene, run_steps, step
+
+
+def _run(name, steps):
+    scene = load_scene(name)
+    w = scene.world
+    w = run_steps(w, scene.params, scene.cap, steps)
+    return scene, w, jax.device_get(w.diagnostics)
+
+
+def test_two_block_drop_settles_without_rebounce():
+    # scenes.h:74-85: tips, lands, settles; reference envelope: fully
+    # settled by step 300, maxLin = 0.000, 2 manifolds / 8 contacts.
+    scene, w, d = _run("TwoBlockDrop", 300)
+    assert float(d.max_linear_speed) < 0.01
+    assert float(d.max_penetration) <= 0.005
+    assert int(d.active_manifolds) == 2
+    assert int(d.active_contacts) == 8
+    assert int(d.sanitized) == 0
+    # Both cubes rest at ~0.51 (margin-lifted) on the ground.
+    ys = np.asarray(w.bodies.pos[1:3, 1])
+    assert np.all(np.abs(ys - 0.51) < 0.02)
+
+
+def test_stack_stays_stacked():
+    scene, w, d = _run("Stack", 300)
+    ys = np.asarray(w.bodies.pos[1:11, 1])
+    expected = 0.51 + 1.01 * np.arange(10)
+    assert np.all(np.abs(ys - expected) < 0.15), ys
+    assert float(d.max_penetration) <= 0.005
+    assert int(d.sanitized) == 0
+
+
+def test_pyramid_rests_with_full_contact_graph():
+    scene, w, d = _run("Pyramid", 300)
+    assert int(d.active_manifolds) == 100      # reference envelope
+    assert int(d.active_contacts) == 400
+    assert float(d.max_penetration) <= 0.005
+    assert float(d.max_linear_speed) < 0.2
+    assert int(d.pair_overflow) == 0 and int(d.degree_overflow) == 0
+
+
+def test_wall_is_stable_under_shear():
+    scene, w, d = _run("Wall", 300)
+    assert 110 <= int(d.active_manifolds) <= 125   # reference: 116
+    assert float(d.max_penetration) <= 0.005
+    assert float(d.max_linear_speed) < 0.2
+    # No brick fell off: all heights within the built wall envelope.
+    ys = np.asarray(w.bodies.pos[1:65, 1])
+    assert ys.min() > 0.1 and ys.max() < 4.5
+
+
+def test_empty_and_ground_run():
+    for name in ("Empty", "Ground"):
+        scene, w, d = _run(name, 5)
+        assert int(d.active_manifolds) == 0
+        assert int(d.dynamic_bodies) == 0
+
+
+def test_single_step_matches_scan():
+    scene = load_scene("TwoBlockDrop")
+    w1 = scene.world
+    for _ in range(3):
+        w1 = step(w1, scene.params, scene.cap)
+    w2 = run_steps(scene.world, scene.params, scene.cap, 3)
+    np.testing.assert_allclose(
+        np.asarray(w1.bodies.pos), np.asarray(w2.bodies.pos), atol=1e-6
+    )
+
+
+def test_headless_print_order_and_format(capsys):
+    # The CLI is the observable contract (main.cpp:223-248): newest body
+    # first, exact field layout.
+    from avbd3d_tpu.cli import main
+
+    main(["--nogfx", "--scene", "Ground", "--steps", "1"])
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    assert lines[0].startswith("Running in headless mode: scene 'Ground'")
+    assert lines[1] == "Step 0:"
+    assert lines[2].startswith("  Body 1: Pos(0.0000, -0.5000, 0.0000)")
+    assert "Rot(0.0000, 0.0000, 0.0000, 1.0000)" in lines[2]
+    assert lines[3].startswith("  Diagnostics: manifolds=0 contacts=0 dynBodies=0")
