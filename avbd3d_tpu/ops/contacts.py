@@ -176,15 +176,13 @@ def match_and_init(old: Contacts, keys, geom, pos, quat, params) -> Contacts:
     )
 
 
-def contact_row_state(contacts: Contacts, pos, quat, inv_mass, friction, lam, penalty, stick, alpha, params):
-    """computeConstraint for every contact row at once (manifold.cpp:177-245).
+def contact_geometry(contacts: Contacts, pos, quat, inv_mass, friction):
+    """Pose-dependent contact geometry: the expensive half of
+    computeConstraint (manifold.cpp:184-196), evaluated once per solver
+    iteration and shared between the dual pass and the next primal pass.
 
-    Returns a dict with everything the primal/dual passes need:
-      C (P, 4, 3), fmin/fmax, lam (cone-projected), stick (updated),
-      basis (P, 4, 3, 3), world lever arms rw_a/rw_b (P, 4, 3), row_ok.
-    ``lam`` is the carried (P, 12) dual state; the friction-cone projection
-    mutates it exactly like the reference mutates lambda in place
-    (manifold.cpp:224-231).
+    Returns basis (P, 4, 3rows, 3), world lever arms, raw separations/slips,
+    per-pair friction/mass scalars, and validity masks.
     """
     p = contacts.p
     n = pos.shape[0]
@@ -192,31 +190,46 @@ def contact_row_state(contacts: Contacts, pos, quat, inv_mass, friction, lam, pe
     safe = jnp.where(valid_pair, contacts.key, 0)
     ia = safe // n
     ib = safe % n
-    lam = lam.reshape(p, 4, 3)
 
     slot_ok = (jnp.arange(4)[None, :] < contacts.count[:, None]) & valid_pair[:, None]
 
     n_unit, t1, t2 = contact_basis(contacts.normal)
-    q_a = quat[ia][:, None, :]
-    q_b = quat[ib][:, None, :]
-    rw_a = quat_rotate(q_a, contacts.r_a)
-    rw_b = quat_rotate(q_b, contacts.r_b)
-    p_a = pos[ia][:, None, :] + rw_a
-    p_b = pos[ib][:, None, :] + rw_b
-    delta = p_a - p_b
-
-    bias = jnp.clip(1.0 - alpha, 0.0, 1.0)
-    separation = dot(delta, n_unit) - params.normal_contact_margin
-    slip1 = dot(delta, t1)
-    slip2 = dot(delta, t2)
-
-    c_n = separation + bias * contacts.c0_n
-    c_t1 = slip1 + bias * contacts.c0_t[..., 0]
-    c_t2 = slip2 + bias * contacts.c0_t[..., 1]
+    rw_a = quat_rotate(quat[ia][:, None, :], contacts.r_a)
+    rw_b = quat_rotate(quat[ib][:, None, :], contacts.r_b)
+    delta = (pos[ia][:, None, :] + rw_a) - (pos[ib][:, None, :] + rw_b)
 
     inv_mass_sum = inv_mass[ia] + inv_mass[ib]
     mass_scale = jnp.where(inv_mass_sum > 1.0e-6, 1.0 / jnp.maximum(inv_mass_sum, 1.0e-6), 1.0)
-    cap = params.normal_force_cap * mass_scale   # (P,)
+
+    return {
+        "basis": jnp.stack([n_unit, t1, t2], axis=-2),   # (P, 4, 3, 3)
+        "rw_a": rw_a,
+        "rw_b": rw_b,
+        "sep": dot(delta, n_unit),
+        "slip1": dot(delta, t1),
+        "slip2": dot(delta, t2),
+        "mass_scale": mass_scale,
+        "mu": jnp.sqrt(friction[ia] * friction[ib]),
+        "slot_ok": slot_ok,
+        "row_ok": slot_ok[..., None] & jnp.ones((1, 1, 3), bool),
+        "ia": ia,
+        "ib": ib,
+        "valid_pair": valid_pair,
+    }
+
+
+def contact_rows(geom, contacts: Contacts, lam, penalty, stick, alpha, params):
+    """The cheap half of computeConstraint (manifold.cpp:193-245): biased C
+    rows, friction-cone bounds, in-place lambda projection, stick update."""
+    p = contacts.p
+    lam = lam.reshape(p, 4, 3)
+
+    bias = jnp.clip(1.0 - alpha, 0.0, 1.0)
+    c_n = (geom["sep"] - params.normal_contact_margin) + bias * contacts.c0_n
+    c_t1 = geom["slip1"] + bias * contacts.c0_t[..., 0]
+    c_t2 = geom["slip2"] + bias * contacts.c0_t[..., 1]
+
+    cap = params.normal_force_cap * geom["mass_scale"]   # (P,)
 
     # Trial normal magnitude -> dynamic friction cone (manifold.cpp:211-222).
     pen_n = penalty.reshape(p, 4, 3)[..., 0]
@@ -226,8 +239,7 @@ def contact_row_state(contacts: Contacts, pos, quat, inv_mass, friction, lam, pe
     trial_mag = jnp.abs(jnp.minimum(trial, 0.0))
     normal_mag = jnp.minimum(jnp.maximum(warm_mag, trial_mag), cap[:, None])
 
-    mu = jnp.sqrt(friction[ia] * friction[ib])[:, None]
-    mu = jnp.where(stick, mu, mu * 0.9)
+    mu = jnp.where(stick, geom["mu"][:, None], geom["mu"][:, None] * 0.9)
     limit = mu * normal_mag
 
     # Project warmstarted tangential lambda into the cone.
@@ -243,12 +255,11 @@ def contact_row_state(contacts: Contacts, pos, quat, inv_mass, friction, lam, pe
     slip_sq = c_t1 * c_t1 + c_t2 * c_t2
     tan_sq = lt1 * lt1 + lt2 * lt2
     new_stick = (slip_sq <= params.stick_thresh**2) & (tan_sq <= limit * limit + 1.0e-8)
-    new_stick = new_stick & slot_ok
+    new_stick = new_stick & geom["slot_ok"]
 
     c_rows = jnp.stack([c_n, c_t1, c_t2], axis=-1)
     fmin = jnp.stack([-cap[:, None] * jnp.ones_like(c_n), -limit, -limit], axis=-1)
     fmax = jnp.stack([jnp.zeros_like(c_n), limit, limit], axis=-1)
-    basis = jnp.stack([n_unit, t1, t2], axis=-2)   # (P, 4, 3 rows, 3)
 
     return {
         "C": c_rows,
@@ -256,14 +267,7 @@ def contact_row_state(contacts: Contacts, pos, quat, inv_mass, friction, lam, pe
         "fmax": fmax,
         "lam": lam,
         "stick": new_stick,
-        "basis": basis,
-        "rw_a": rw_a,
-        "rw_b": rw_b,
-        "row_ok": slot_ok[..., None] & jnp.ones((1, 1, 3), bool),
-        "ia": ia,
-        "ib": ib,
-        "valid_pair": valid_pair,
-        "separation_raw": dot(delta, n_unit),
+        "row_ok": geom["row_ok"],
     }
 
 
@@ -282,10 +286,10 @@ def contact_primal_force(row_state, penalty):
     return jnp.where(row_state["row_ok"], f, 0.0)
 
 
-def contact_dual_update(row_state, penalty, beta, params):
+def contact_dual_update(row_state, geom, penalty, beta, params):
     """Dual ascent + penalty ramp for contact rows (solver.cpp:411-429).
 
-    Must be called with row_state evaluated at the *post-primal* poses.
+    Must be called with rows/geometry evaluated at the *post-primal* poses.
     Returns (lam (P,12), penalty (P,12), stick (P,4)).
     """
     shape = row_state["C"].shape
@@ -300,9 +304,9 @@ def contact_dual_update(row_state, penalty, beta, params):
     # rowPenaltyGain (solver.cpp:94-125): blend beta by linear vs angular
     # Jacobian weight across both bodies.  |J_lin| = 1 per body for contact
     # rows (basis is unit), so linear weight = 2.
-    basis = row_state["basis"]                       # (P, 4, 3, 3)
-    ja_a = cross(row_state["rw_a"][:, :, None, :], basis)
-    ja_b = cross(row_state["rw_b"][:, :, None, :], basis)
+    basis = geom["basis"]                            # (P, 4, 3, 3)
+    ja_a = cross(geom["rw_a"][:, :, None, :], basis)
+    ja_b = cross(geom["rw_b"][:, :, None, :], basis)
     lin_w = 2.0
     ang_w = jnp.sum(ja_a * ja_a, axis=-1) + jnp.sum(ja_b * ja_b, axis=-1)
     total = lin_w + ang_w

@@ -47,8 +47,9 @@ from .maths import (
 from .ops.broadphase import build_incidence, decode_keys, sphere_pairs
 from .ops.contacts import (
     contact_dual_update,
+    contact_geometry,
     contact_primal_force,
-    contact_row_state,
+    contact_rows,
     match_and_init,
 )
 from .ops.joints import (
@@ -151,52 +152,60 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     has_joints = joints.incidence.shape[1] > 0
     has_springs = springs.incidence.shape[1] > 0
 
-    def assemble_and_solve(pos, quat, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, pen_s):
+    p_cap = cap.max_pairs
+    d_cap = cap.max_degree
+    # Precompute side-selecting gather indices: rows of pair p seen from side
+    # A index into [0, P), from side B into [P, 2P) of concatenated buffers.
+    inc_ok = inc >= 0
+    pc = jnp.where(inc_ok, inc, 0)
+    side_idx = pc + jnp.where(inc_sign < 0.0, p_cap, 0)          # (N, D)
+    sgnf = inc_sign                                              # (N, D) +/-1, 0 invalid
+
+    def assemble_and_solve(pos, quat, geom, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, pen_s):
         rot = quat_to_mat3(quat)
         i_world = jnp.einsum("nij,nj,nkj->nik", rot, b.inertia, rot)
         ii_world = jnp.einsum("nij,nj,nkj->nik", rot, b.inv_inertia, rot)
 
         eye = jnp.eye(3)
-        lhs_ll = eye[None] * (mass * inv_dt2)[:, None, None]
-        lhs_aa = i_world * inv_dt2
-        lhs_la = jnp.zeros((n, 3, 3))
-        lhs_al = jnp.zeros((n, 3, 3))
-
         rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
         q_err = quat_mul(quat, quat_conj(inertial_quat))
         rot_err = quat_vec_doubled(q_err)
         rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
 
         # ---- contact rows through the (N, D) incidence table ----
-        pair = inc
-        ok = pair >= 0
-        pc = jnp.where(ok, pair, 0)
-        sgn = inc_sign[..., None, None, None]                    # (N, D, 1, 1, 1)
-        basis = crs["basis"][pc]                                 # (N, D, 4, 3, 3)
-        rw = jnp.where(
-            (inc_sign > 0.0)[..., None, None],
-            crs["rw_a"][pc],
-            crs["rw_b"][pc],
-        )                                                        # (N, D, 4, 3)
-        row_ok = crs["row_ok"][pc] & ok[..., None, None]
-        w = row_ok.astype(jnp.float32)
-        f = f_c[pc] * w                                          # (N, D, 4, 3)
-        pen = pen_c.reshape(-1, 4, 3)[pc] * w
+        # One gather per quantity; the A/B side select is folded into the
+        # gather index over concatenated [A; B] buffers.
+        crs_basis_flat = geom["basis"].reshape(p_cap, 12, 3)
+        rw_ab = jnp.concatenate([geom["rw_a"], geom["rw_b"]], axis=0)  # (2P, 4, 3)
+        basis = crs_basis_flat[pc]                               # (N, D, 12, 3)
+        rw = rw_ab[side_idx]                                     # (N, D, 4, 3)
+        w = (geom["row_ok"][pc] & inc_ok[..., None, None]).astype(jnp.float32).reshape(n, d_cap, 12)
+        f = f_c.reshape(p_cap, 12)[pc] * w                       # (N, D, 12)
+        pen = pen_c[pc] * w
 
-        j_lin = sgn * basis                                      # (N, D, 4, 3r, 3)
-        j_ang = sgn * cross(rw[..., None, :], basis)
+        rw12 = jnp.repeat(rw, 3, axis=2)                         # (N, D, 12, 3)
+        sgn = sgnf[..., None, None]
+        j_lin = sgn * basis
+        j_ang = sgn * cross(rw12, basis)
+        j6 = jnp.concatenate([j_lin, j_ang], axis=-1).reshape(n, d_cap * 12, 6)
+        f_r = f.reshape(n, d_cap * 12)
+        pen_r = pen.reshape(n, d_cap * 12)
 
-        rhs_l += jnp.einsum("ndcri,ndcr->ni", j_lin, f)
-        rhs_a += jnp.einsum("ndcri,ndcr->ni", j_ang, f)
-        lhs_ll += jnp.einsum("ndcr,ndcri,ndcrj->nij", pen, j_lin, j_lin)
-        lhs_la += jnp.einsum("ndcr,ndcri,ndcrj->nij", pen, j_lin, j_ang)
-        lhs_al += jnp.einsum("ndcr,ndcri,ndcrj->nij", pen, j_ang, j_lin)
-        lhs_aa += jnp.einsum("ndcr,ndcri,ndcrj->nij", pen, j_ang, j_ang)
+        rhs6 = jnp.einsum("nrk,nr->nk", j6, f_r)
+        rhs_l += rhs6[:, :3]
+        rhs_a += rhs6[:, 3:]
+        m66 = jnp.einsum("nrk,nrl->nkl", j6 * pen_r[..., None], j6)
+
+        lhs_ll = m66[:, :3, :3] + eye[None] * (mass * inv_dt2)[:, None, None]
+        lhs_la = m66[:, :3, 3:]
+        lhs_al = m66[:, 3:, :3]
+        lhs_aa = m66[:, 3:, 3:] + i_world * inv_dt2
 
         # Gyroscopic diagonal regularizer, manifolds only (solver.cpp:393-397).
-        iiw_ja = jnp.einsum("nij,ndcrj->ndcri", ii_world, j_ang)
-        gyro = jnp.abs(cross(j_ang, iiw_ja)) * jnp.abs(f)[..., None]
-        gyro_diag = jnp.sum(gyro, axis=(1, 2, 3))                # (N, 3)
+        j_ang_r = j6[:, :, 3:]
+        iiw_ja = jnp.einsum("nij,nrj->nri", ii_world, j_ang_r)
+        gyro = jnp.abs(cross(j_ang_r, iiw_ja)) * jnp.abs(f_r)[..., None]
+        gyro_diag = jnp.sum(gyro, axis=1)                        # (N, 3)
         lhs_aa += eye[None] * gyro_diag[:, :, None]
 
         # ---- joint rows (precomputed incidence) ----
@@ -245,23 +254,24 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
     def iteration(it, carry):
-        pos, quat, lam_c, pen_c, stick, lam_j, pen_j, san = carry
+        pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san = carry
         if params.post_stabilize:
             alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
         else:
             alpha_cur = jnp.float32(params.alpha)
 
-        # --- primal (solver.cpp:344-409) ---
-        crs = contact_row_state(
-            contacts, pos, quat, b.inv_mass, b.friction, lam_c, pen_c, stick, alpha_cur, params
-        )
+        # --- primal (solver.cpp:344-409); geometry was evaluated at these
+        # exact poses at the end of the previous iteration ---
+        crs = contact_rows(geom, contacts, lam_c, pen_c, stick, alpha_cur, params)
         f_c = contact_primal_force(crs, pen_c)
         jrs = joint_row_state(joints, pos, quat, lam_j)
         f_j = joint_primal_force(jrs, pen_j)
         srs = spring_row_state(springs, pos, quat)
         f_s = spring_primal_force(srs, springs.penalty)
 
-        dl, da = assemble_and_solve(pos, quat, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty)
+        dl, da = assemble_and_solve(
+            pos, quat, geom, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
+        )
         relax = params.relaxation
         new_pos = pos - relax * dl * dynf
         dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
@@ -270,27 +280,30 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         new_pos, san = _sanitize(new_pos, pos, san)
         new_quat, san = _sanitize(new_quat, quat, san)
 
-        # --- dual (solver.cpp:411-429), skipped on the post-stabilize
-        # extra iteration ---
-        crs2 = contact_row_state(
-            contacts, new_pos, new_quat, b.inv_mass, b.friction,
-            crs["lam"].reshape(-1, 12), pen_c, crs["stick"], alpha_cur, params,
+        # --- dual (solver.cpp:411-429) at the post-primal poses; the same
+        # geometry evaluation feeds the next iteration's primal ---
+        geom2 = contact_geometry(contacts, new_pos, new_quat, b.inv_mass, b.friction)
+        crs2 = contact_rows(
+            geom2, contacts, crs["lam"].reshape(-1, 12), pen_c, crs["stick"], alpha_cur, params
         )
-        lam_c2, pen_c2, stick2 = contact_dual_update(crs2, pen_c, params.beta, params)
+        lam_c2, pen_c2, stick2 = contact_dual_update(crs2, geom2, pen_c, params.beta, params)
         jrs2 = joint_row_state(joints, new_pos, new_quat, lam_j)
         lam_j2, pen_j2 = joint_dual_update(jrs2, pen_j, params.beta, params)
 
+        # The dual update is skipped on the post-stabilize extra iteration.
         do_dual = it < params.iterations
         lam_c = jnp.where(do_dual, lam_c2, crs2["lam"].reshape(-1, 12))
         pen_c = jnp.where(do_dual, pen_c2, pen_c)
         stick = jnp.where(do_dual, stick2, crs2["stick"])
         lam_j = jnp.where(do_dual, lam_j2, lam_j)
         pen_j = jnp.where(do_dual, pen_j2, pen_j)
-        return new_pos, new_quat, lam_c, pen_c, stick, lam_j, pen_j, san
+        return new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j, san
 
+    geom0 = contact_geometry(contacts, pos_start, quat_start, b.inv_mass, b.friction)
     carry0 = (
         pos_start,
         quat_start,
+        geom0,
         contacts.lam,
         contacts.penalty,
         contacts.stick,
@@ -298,7 +311,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         joints.penalty,
         sanitized,
     )
-    pos_f, quat_f, lam_c, pen_c, stick, lam_j, pen_j, sanitized = lax.fori_loop(
+    pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized = lax.fori_loop(
         0, total_iters, iteration, carry0
     )
 
