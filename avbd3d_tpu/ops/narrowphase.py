@@ -104,8 +104,13 @@ def _collide_one(pos_a, quat_a, half_a, pos_b, quat_b, half_b, margin):
     best_edge_sep = edge_sep[best_edge]
     edge_valid = jnp.any(~degenerate[6:])
 
-    # Edge preferred only when meaningfully better (collision.cpp:459-468).
-    use_edge = edge_valid & (0.95 * best_edge_sep > best_face_sep + 0.01)
+    # Edge preferred only when meaningfully better (collision.cpp:459-468);
+    # depth-gated to shallow contacts (see narrowphase_cm for rationale).
+    use_edge = (
+        edge_valid
+        & (0.95 * best_edge_sep > best_face_sep + 0.01)
+        & (best_edge_sep > -0.05)
+    )
 
     # --- Face manifold (collision.cpp:313-394) ---------------------------
     ref_is_a = best_face < 3

@@ -102,7 +102,18 @@ def collide_pairs_cm(body_a, body_b, margin):
     edge_any = jnp.zeros_like(separated)
     for v in edge_valid:
         edge_any |= v
-    use_edge = edge_any & (0.95 * best_edge_sep > best_face_sep + 0.01)
+    # Edge preference rule (collision.cpp:459-468) with a depth gate: with
+    # negative separations the reference formula *favors* the edge axis, so a
+    # deeply-overlapping box pair would drop from a 4-point face manifold to
+    # a single edge contact and lose support.  The C++ rarely reaches deep
+    # overlap (sequential Gauss-Seidel), but the Jacobi solver transiently
+    # does during impact cascades; restrict the edge path to shallow contacts
+    # where the anti-flicker rule is meant to apply.
+    use_edge = (
+        edge_any
+        & (0.95 * best_edge_sep > best_face_sep + 0.01)
+        & (best_edge_sep > -0.05)
+    )
 
     # ---- face manifold ----
     ref_is_a = best_face < 3

@@ -4,7 +4,7 @@ TPU-native rebuild of ``Solver::step`` (solver.cpp:255-514).  The reference's
 six phases map as:
 
   1. Broadphase              -> masked all-pairs sphere test + static pair list
-  2. Init/warmstart forces   -> vmapped narrowphase + sorted-key cache merge
+  2. Init/warmstart forces   -> component-major narrowphase + sorted-key merge
   3. Predict body states     -> vectorized inertial prediction
   4. Iterative solve         -> lax.fori_loop of (Jacobi primal block solve +
                                 dual ascent).  The C++ primal is Gauss-Seidel
@@ -16,12 +16,13 @@ six phases map as:
   5. Velocity update         -> vectorized finite-difference + damping
   6. Diagnostics             -> on-device reductions, returned as a pytree
 
-Aggregation strategy: constraint rows are evaluated once per iteration in
-pair space, then each body gathers its incident rows through a per-step
-(N, D) incidence table and reduces densely — no scatters inside the hot
-loop.  The per-body 6x6 LHS is assembled from row outer products and solved
-with the batched LDL/Schur kernel (maths.solve66), mirroring
-solver.cpp:344-409 math exactly.
+Hot-path layout: everything per-pair is component-major ((P,) arrays, pair
+axis in the TPU lane dimension — see cm.py).  Constraint rows are evaluated
+in pair space; per-(pair, side) force/LHS contributions are reduced there to
+a compact (2P, 32) matrix, and each body gathers its incident rows through a
+per-step (N, D) incidence table — no scatters inside the iteration loop.
+The per-body 6x6 solve uses the batched LDL/Schur kernel (maths.solve66),
+mirroring solver.cpp:344-409 math exactly.
 """
 
 from __future__ import annotations
@@ -32,15 +33,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import cm
 from .config import Capacity, SolverParams
 from .maths import (
-    cross,
-    outer3,
     quat_conj,
     quat_mul,
     quat_normalize,
     quat_rotate,
-    quat_to_mat3,
     quat_vec_doubled,
     solve66,
 )
@@ -48,8 +47,10 @@ from .ops.broadphase import build_incidence, decode_keys, sphere_pairs
 from .ops.contacts import (
     contact_dual_update,
     contact_geometry,
+    contact_pair_constants,
     contact_primal_force,
     contact_rows,
+    contact_side_contributions,
     match_and_init,
 )
 from .ops.joints import (
@@ -59,14 +60,14 @@ from .ops.joints import (
     joint_primal_force,
     joint_row_state,
 )
-from .ops.narrowphase import collide_pairs
+from .ops.narrowphase_cm import collide_pairs_cm
 from .ops.springs import (
     spring_decay,
     spring_jacobians,
     spring_primal_force,
     spring_row_state,
 )
-from .state import Diagnostics, World, zero_diagnostics
+from .state import Diagnostics, World
 
 
 def _sanitize(x, default, count):
@@ -82,6 +83,29 @@ def _clamp_angular(w, max_speed):
     speed = jnp.linalg.norm(w, axis=-1, keepdims=True)
     scale = jnp.where(speed > max_speed, max_speed / jnp.maximum(speed, 1e-12), 1.0)
     return w * scale
+
+
+def _world_inertia_components(quat_arr, diag):
+    """I_w = R diag R^T as 6 upper-tri components (xx,xy,xz,yy,yz,zz).
+
+    R's columns are the body axes, so I_w[i][j] = sum_k d_k ax_k[i] ax_k[j]
+    (rigid.cpp:51-59)."""
+    q = (quat_arr[:, 0], quat_arr[:, 1], quat_arr[:, 2], quat_arr[:, 3])
+    axes = cm.q_axes(q)
+    d = (diag[:, 0], diag[:, 1], diag[:, 2])
+    comps = []
+    for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        comps.append(sum(d[k] * axes[k][i] * axes[k][j] for k in range(3)))
+    return comps
+
+
+def _sym33(comps):
+    """(xx,xy,xz,yy,yz,zz) components -> (N, 3, 3)."""
+    xx, xy, xz, yy, yz, zz = comps
+    row0 = jnp.stack([xx, xy, xz], axis=-1)
+    row1 = jnp.stack([xy, yy, yz], axis=-1)
+    row2 = jnp.stack([xz, yz, zz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap"))
@@ -101,16 +125,42 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     # ------------------------------------------------------------------
     # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
     # ------------------------------------------------------------------
-    geom = collide_pairs(
-        b.pos, b.quat, b.size, ia, ib, pair_valid, margin=params.collision_margin
-    )
-    contacts = match_and_init(world.contacts, keys, geom, b.pos, b.quat, params)
+    half = b.size * 0.5
+    px0, py0, pz0 = cm.splat(b.pos)
+    qx0, qy0, qz0, qw0 = cm.splat4(b.quat)
+    hx, hy, hz = cm.splat(half)
+
+    def side(idx):
+        return {
+            "pos": (px0[idx], py0[idx], pz0[idx]),
+            "quat": (qx0[idx], qy0[idx], qz0[idx], qw0[idx]),
+            "half": (hx[idx], hy[idx], hz[idx]),
+        }
+
+    body_a = side(ia)
+    body_b = side(ib)
+    geom_np = collide_pairs_cm(body_a, body_b, params.collision_margin)
+    # Mask inactive pair slots.
+    geom_np["slot_ok"] = [ok & pair_valid for ok in geom_np["slot_ok"]]
+    geom_np["feature"] = [
+        jnp.where(ok, ft, -1) for ok, ft in zip(geom_np["slot_ok"], geom_np["feature"])
+    ]
+    geom_np["count"] = jnp.where(pair_valid, geom_np["count"], 0)
+
+    pair_body = {
+        "pa": body_a["pos"],
+        "qa": body_a["quat"],
+        "pb": body_b["pos"],
+        "qb": body_b["quat"],
+    }
+    contacts = match_and_init(world.contacts, keys, geom_np, pair_body, params)
     joints = joint_decay(world.joints, params)
     springs = spring_decay(world.springs, params)
 
     inc, inc_sign, degree_overflow = build_incidence(
-        ia, ib, geom["count"] > 0, world.bodies.dynamic, n, cap.max_degree
+        ia, ib, geom_np["count"] > 0, b.dynamic, n, cap.max_degree
     )
+    consts = contact_pair_constants(contacts, b.inv_mass, b.friction)
 
     # ------------------------------------------------------------------
     # Phase 3: inertial prediction (solver.cpp:299-337)
@@ -151,62 +201,42 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     mass = b.mass
     has_joints = joints.incidence.shape[1] > 0
     has_springs = springs.incidence.shape[1] > 0
-
     p_cap = cap.max_pairs
-    d_cap = cap.max_degree
-    # Precompute side-selecting gather indices: rows of pair p seen from side
-    # A index into [0, P), from side B into [P, 2P) of concatenated buffers.
+    eye = jnp.eye(3)
+
+    # Incidence gather indices into the (2P, 32) contribution matrix.
     inc_ok = inc >= 0
     pc = jnp.where(inc_ok, inc, 0)
-    side_idx = pc + jnp.where(inc_sign < 0.0, p_cap, 0)          # (N, D)
-    sgnf = inc_sign                                              # (N, D) +/-1, 0 invalid
+    side_idx = pc + jnp.where(inc_sign < 0.0, p_cap, 0)      # (N, D)
+    inc_w = inc_ok.astype(jnp.float32)[..., None]
 
-    def assemble_and_solve(pos, quat, geom, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, pen_s):
-        rot = quat_to_mat3(quat)
-        i_world = jnp.einsum("nij,nj,nkj->nik", rot, b.inertia, rot)
-        ii_world = jnp.einsum("nij,nj,nkj->nik", rot, b.inv_inertia, rot)
+    def assemble_and_solve(pos, quat, geom, f_rows, pen, jrs, f_j, pen_j, srs, f_s, pen_s):
+        iw = _world_inertia_components(quat, b.inertia)
+        iiw = _world_inertia_components(quat, b.inv_inertia)
+        i_world = _sym33(iw)
 
-        eye = jnp.eye(3)
         rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
         q_err = quat_mul(quat, quat_conj(inertial_quat))
         rot_err = quat_vec_doubled(q_err)
         rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
 
-        # ---- contact rows through the (N, D) incidence table ----
-        # One gather per quantity; the A/B side select is folded into the
-        # gather index over concatenated [A; B] buffers.
-        crs_basis_flat = geom["basis"].reshape(p_cap, 12, 3)
-        rw_ab = jnp.concatenate([geom["rw_a"], geom["rw_b"]], axis=0)  # (2P, 4, 3)
-        basis = crs_basis_flat[pc]                               # (N, D, 12, 3)
-        rw = rw_ab[side_idx]                                     # (N, D, 4, 3)
-        w = (geom["row_ok"][pc] & inc_ok[..., None, None]).astype(jnp.float32).reshape(n, d_cap, 12)
-        f = f_c.reshape(p_cap, 12)[pc] * w                       # (N, D, 12)
-        pen = pen_c[pc] * w
+        # Pair-space contributions -> one gather + reduce per body.
+        iiw_a = tuple(c[consts["ia"]] for c in iiw)
+        iiw_b = tuple(c[consts["ib"]] for c in iiw)
+        contrib = contact_side_contributions(geom, f_rows, pen, iiw_a, iiw_b)
+        agg = jnp.sum(contrib[side_idx] * inc_w, axis=1)     # (N, 32)
 
-        rw12 = jnp.repeat(rw, 3, axis=2)                         # (N, D, 12, 3)
-        sgn = sgnf[..., None, None]
-        j_lin = sgn * basis
-        j_ang = sgn * cross(rw12, basis)
-        j6 = jnp.concatenate([j_lin, j_ang], axis=-1).reshape(n, d_cap * 12, 6)
-        f_r = f.reshape(n, d_cap * 12)
-        pen_r = pen.reshape(n, d_cap * 12)
+        rhs_l += agg[:, 0:3]
+        rhs_a += agg[:, 3:6]
+        m_ll = _sym33([agg[:, 6 + k] for k in range(6)])
+        m_la = agg[:, 12:21].reshape(n, 3, 3)
+        m_aa = _sym33([agg[:, 21 + k] for k in range(6)])
+        gyro = agg[:, 27:30]
 
-        rhs6 = jnp.einsum("nrk,nr->nk", j6, f_r)
-        rhs_l += rhs6[:, :3]
-        rhs_a += rhs6[:, 3:]
-        m66 = jnp.einsum("nrk,nrl->nkl", j6 * pen_r[..., None], j6)
-
-        lhs_ll = m66[:, :3, :3] + eye[None] * (mass * inv_dt2)[:, None, None]
-        lhs_la = m66[:, :3, 3:]
-        lhs_al = m66[:, 3:, :3]
-        lhs_aa = m66[:, 3:, 3:] + i_world * inv_dt2
-
-        # Gyroscopic diagonal regularizer, manifolds only (solver.cpp:393-397).
-        j_ang_r = j6[:, :, 3:]
-        iiw_ja = jnp.einsum("nij,nrj->nri", ii_world, j_ang_r)
-        gyro = jnp.abs(cross(j_ang_r, iiw_ja)) * jnp.abs(f_r)[..., None]
-        gyro_diag = jnp.sum(gyro, axis=1)                        # (N, 3)
-        lhs_aa += eye[None] * gyro_diag[:, :, None]
+        lhs_ll = m_ll + eye[None] * (mass * inv_dt2)[:, None, None]
+        lhs_la = m_la
+        lhs_al = jnp.swapaxes(m_la, -1, -2)
+        lhs_aa = m_aa + i_world * inv_dt2 + eye[None] * gyro[:, :, None]
 
         # ---- joint rows (precomputed incidence) ----
         if has_joints:
@@ -216,7 +246,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
             jl_a, ja_a = joint_jacobians(jrs, +1)
             jl_b, ja_b = joint_jacobians(jrs, -1)
             is_a = (joints.inc_side > 0)[..., None, None]
-            jl = jnp.where(is_a, jl_a[jc], jl_b[jc])             # (N, DJ, 6, 3)
+            jl = jnp.where(is_a, jl_a[jc], jl_b[jc])         # (N, DJ, 6, 3)
             ja = jnp.where(is_a, ja_a[jc], ja_b[jc])
             wj = (jok[..., None] & jrs["active"][jc][..., None]).astype(jnp.float32)
             fj = f_j[jc] * wj
@@ -236,7 +266,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
             sl_a, sa_a = spring_jacobians(srs, +1)
             sl_b, sa_b = spring_jacobians(srs, -1)
             is_a = (springs.inc_side > 0)[..., None]
-            sl = jnp.where(is_a, sl_a[sc], sl_b[sc])             # (N, DS, 3)
+            sl = jnp.where(is_a, sl_a[sc], sl_b[sc])         # (N, DS, 3)
             sa = jnp.where(is_a, sa_a[sc], sa_b[sc])
             ws = (sok & srs["active"][sc]).astype(jnp.float32)
             fs = f_s[sc] * ws
@@ -253,6 +283,11 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
+    def geom_at(pos, quat):
+        px, py, pz = cm.splat(pos)
+        qx, qy, qz, qw = cm.splat4(quat)
+        return contact_geometry(contacts, consts, px, py, pz, qx, qy, qz, qw)
+
     def iteration(it, carry):
         pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san = carry
         if params.post_stabilize:
@@ -262,7 +297,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
         # --- primal (solver.cpp:344-409); geometry was evaluated at these
         # exact poses at the end of the previous iteration ---
-        crs = contact_rows(geom, contacts, lam_c, pen_c, stick, alpha_cur, params)
+        crs = contact_rows(geom, contacts, consts, lam_c, pen_c, stick, alpha_cur, params)
         f_c = contact_primal_force(crs, pen_c)
         jrs = joint_row_state(joints, pos, quat, lam_j)
         f_j = joint_primal_force(jrs, pen_j)
@@ -270,7 +305,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         f_s = spring_primal_force(srs, springs.penalty)
 
         dl, da = assemble_and_solve(
-            pos, quat, geom, crs, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
+            pos, quat, geom, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
         )
         relax = params.relaxation
         new_pos = pos - relax * dl * dynf
@@ -282,9 +317,10 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
         # --- dual (solver.cpp:411-429) at the post-primal poses; the same
         # geometry evaluation feeds the next iteration's primal ---
-        geom2 = contact_geometry(contacts, new_pos, new_quat, b.inv_mass, b.friction)
+        geom2 = geom_at(new_pos, new_quat)
         crs2 = contact_rows(
-            geom2, contacts, crs["lam"].reshape(-1, 12), pen_c, crs["stick"], alpha_cur, params
+            geom2, contacts, consts, jnp.stack(crs["lam"]), pen_c,
+            jnp.stack(crs["stick"]), alpha_cur, params,
         )
         lam_c2, pen_c2, stick2 = contact_dual_update(crs2, geom2, pen_c, params.beta, params)
         jrs2 = joint_row_state(joints, new_pos, new_quat, lam_j)
@@ -292,14 +328,14 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
         # The dual update is skipped on the post-stabilize extra iteration.
         do_dual = it < params.iterations
-        lam_c = jnp.where(do_dual, lam_c2, crs2["lam"].reshape(-1, 12))
+        lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))
         pen_c = jnp.where(do_dual, pen_c2, pen_c)
-        stick = jnp.where(do_dual, stick2, crs2["stick"])
+        stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
         lam_j = jnp.where(do_dual, lam_j2, lam_j)
         pen_j = jnp.where(do_dual, pen_j2, pen_j)
         return new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j, san
 
-    geom0 = contact_geometry(contacts, pos_start, quat_start, b.inv_mass, b.friction)
+    geom0 = geom_at(pos_start, quat_start)
     carry0 = (
         pos_start,
         quat_start,
@@ -344,21 +380,28 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     # ------------------------------------------------------------------
     # Phase 6: diagnostics (solver.cpp:471-513)
     # ------------------------------------------------------------------
-    ia_c, ib_c, pv = decode_keys(contacts.key, n)
-    slot_ok = (jnp.arange(4)[None, :] < contacts.count[:, None]) & pv[:, None]
-    p_a = pos_f[ia_c][:, None, :] + quat_rotate(quat_f[ia_c][:, None, :], contacts.r_a)
-    p_b = pos_f[ib_c][:, None, :] + quat_rotate(quat_f[ib_c][:, None, :], contacts.r_b)
-    sep = jnp.sum((p_a - p_b) * contacts.normal, axis=-1)
-    pen_depth = jnp.where(slot_ok, jnp.maximum(0.0, -sep), 0.0)
-    violation = jnp.where(slot_ok, jnp.maximum(0.0, params.penetration_slop - sep), 0.0)
-    lam_n = jnp.abs(contacts.lam.reshape(-1, 4, 3)[..., 0]) * slot_ok
+    geom_f = geom_at(pos_f, quat_f)
+    max_pen = jnp.float32(0.0)
+    max_violation = jnp.float32(0.0)
+    max_lam_n = jnp.float32(0.0)
+    for s in range(4):
+        ok = consts["slot_ok"][s]
+        sep = geom_f["sep"][s]
+        max_pen = jnp.maximum(max_pen, jnp.max(jnp.where(ok, -sep, 0.0), initial=0.0))
+        max_violation = jnp.maximum(
+            max_violation,
+            jnp.max(jnp.where(ok, params.penetration_slop - sep, 0.0), initial=0.0),
+        )
+        max_lam_n = jnp.maximum(
+            max_lam_n, jnp.max(jnp.where(ok, jnp.abs(lam_c[s * 3]), 0.0), initial=0.0)
+        )
 
     diag = Diagnostics(
-        max_penetration=jnp.max(pen_depth, initial=0.0),
-        max_constraint_violation=jnp.max(violation, initial=0.0),
+        max_penetration=jnp.maximum(max_pen, 0.0),
+        max_constraint_violation=jnp.maximum(max_violation, 0.0),
         max_linear_speed=jnp.max(lin_speed, initial=0.0),
         max_angular_speed=jnp.max(ang_speed, initial=0.0),
-        max_normal_impulse=jnp.max(lam_n, initial=0.0),
+        max_normal_impulse=max_lam_n,
         active_contacts=jnp.sum(contacts.count),
         active_manifolds=jnp.sum((contacts.count > 0).astype(jnp.int32)),
         dynamic_bodies=jnp.sum(dyn.astype(jnp.int32)),

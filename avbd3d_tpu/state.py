@@ -80,21 +80,27 @@ class Contacts:
     A slot is active when ``key != INACTIVE_KEY``; keys are kept sorted
     ascending so cross-step matching is a vectorized ``searchsorted`` merge.
     Rows are laid out 3 per contact (normal, tangent1, tangent2), i.e. row
-    ``4*c .. 4*c+2`` maps to manifold row base ``c*3`` of the reference
+    ``c*3 .. c*3+2`` maps to manifold row base ``c*3`` of the reference
     (manifold.cpp:66-69).
+
+    Layout is component-major (TPU lane-friendly): the P axis is always
+    minor-most; contact-slot / vector-component / row axes lead.  The four
+    contacts of a manifold share one normal (collision.cpp:390, 413), so the
+    normal is stored per pair.
     """
 
     key: Any            # (P,) int32 = i * N + j, i < j, or INACTIVE_KEY
     count: Any          # (P,) int32 number of valid contacts (0..4)
-    feature: Any        # (P, 4) int32 deterministic feature ids
-    r_a: Any            # (P, 4, 3) body-local contact point on body A
-    r_b: Any            # (P, 4, 3) body-local contact point on body B
-    normal: Any         # (P, 4, 3) world contact normal, B -> A
-    stick: Any          # (P, 4) bool static-friction latch
-    c0_n: Any           # (P, 4) cached normal violation for alpha-stabilization
-    c0_t: Any           # (P, 4, 2) cached tangential slips
-    lam: Any            # (P, 12) dual variables (3 rows per contact)
-    penalty: Any        # (P, 12) penalty stiffness per row
+    feature: Any        # (4, P) int32 deterministic feature ids
+    r_a: Any            # (4, 3, P) body-local contact point on body A
+    r_b: Any            # (4, 3, P) body-local contact point on body B
+    normal: Any         # (3, P) world contact normal, B -> A (unit)
+    stick: Any          # (4, P) bool static-friction latch
+    c0_n: Any           # (4, P) cached normal violation for alpha-stabilization
+    c0_t1: Any          # (4, P) cached tangential slip 1
+    c0_t2: Any          # (4, P) cached tangential slip 2
+    lam: Any            # (12, P) dual variables (3 rows per contact)
+    penalty: Any        # (12, P) penalty stiffness per row
 
     @property
     def p(self) -> int:
@@ -109,15 +115,16 @@ def empty_contacts(max_pairs: int) -> Contacts:
     return Contacts(
         key=jnp.full((p,), INACTIVE_KEY, jnp.int32),
         count=jnp.zeros((p,), jnp.int32),
-        feature=jnp.full((p, 4), -1, jnp.int32),
-        r_a=jnp.zeros((p, 4, 3), jnp.float32),
-        r_b=jnp.zeros((p, 4, 3), jnp.float32),
-        normal=jnp.zeros((p, 4, 3), jnp.float32),
-        stick=jnp.zeros((p, 4), bool),
-        c0_n=jnp.zeros((p, 4), jnp.float32),
-        c0_t=jnp.zeros((p, 4, 2), jnp.float32),
-        lam=jnp.zeros((p, 12), jnp.float32),
-        penalty=jnp.zeros((p, 12), jnp.float32),
+        feature=jnp.full((4, p), -1, jnp.int32),
+        r_a=jnp.zeros((4, 3, p), jnp.float32),
+        r_b=jnp.zeros((4, 3, p), jnp.float32),
+        normal=jnp.zeros((3, p), jnp.float32),
+        stick=jnp.zeros((4, p), bool),
+        c0_n=jnp.zeros((4, p), jnp.float32),
+        c0_t1=jnp.zeros((4, p), jnp.float32),
+        c0_t2=jnp.zeros((4, p), jnp.float32),
+        lam=jnp.zeros((12, p), jnp.float32),
+        penalty=jnp.zeros((12, p), jnp.float32),
     )
 
 
