@@ -76,6 +76,12 @@ def where(c, a, b):
     return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
 
 
+def bwhere(c, a, b):
+    """Boolean-valued select as pure logic ops (Mosaic cannot lower
+    select_n on i1 payloads)."""
+    return (c & a) | (~c & b)
+
+
 def select_idx(a, idx):
     """Gather each component with the same index array."""
     return tuple(x[idx] for x in a)

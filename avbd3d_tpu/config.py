@@ -74,14 +74,17 @@ class Capacity:
     """Static-shape capacity plan for one scene.
 
     The reference allocates manifolds dynamically; a jit-compiled TPU step
-    needs fixed buffer sizes.  Overflows are counted in diagnostics — never
-    silent.
+    needs fixed buffer sizes.  ``max_degree`` is the number of neighbor
+    slots per body in the replicated contact cache (D).  Overflows are
+    counted in diagnostics — never silent.
     """
 
-    max_pairs: int = 64        # candidate broadphase pairs (P slots)
-    max_degree: int = 16       # max contact pairs incident to one body (D)
+    max_degree: int = 16       # max contact partners per body (D slots)
     joint_degree: int = 0      # max joints incident to one body
     spring_degree: int = 0     # max springs incident to one body
+    # 'auto': Pallas mega-kernels on TPU for contact-only scenes <= 1024
+    # bodies, portable XLA otherwise.  'xla' / 'pallas' force a backend.
+    backend: str = "auto"
 
     def replace(self, **kw) -> "Capacity":
         return dataclasses.replace(self, **kw)

@@ -209,6 +209,82 @@ def solve33_matrix(A, B):
     return jnp.stack(cols, axis=-1)
 
 
+def solve3_sym_cm(a, b):
+    """Component-form 3x3 LDL^T solve for symmetric A.
+
+    ``a`` = (xx, xy, xz, yy, yz, zz) upper-triangle component arrays,
+    ``b`` = (b0, b1, b2).  Same algorithm and epsilon guards as solve3 /
+    maths.h:104, but fully elementwise over arbitrary-shaped component
+    arrays (no trailing (3, 3) dims — TPU lane-friendly).
+    Returns (x0, x1, x2).
+    """
+    xx, xy, xz, yy, yz, zz = a
+    bad0 = jnp.abs(xx) < _PIVOT_EPS
+    d0 = jnp.where(bad0, 1.0, xx)
+    l10 = xy / d0
+    l20 = xz / d0
+    d1_raw = yy - xy * l10
+    bad1 = jnp.abs(d1_raw) < _PIVOT_EPS
+    d1 = jnp.where(bad1, 1.0, d1_raw)
+    l21 = (yz - xz * l10) / d1
+    d2_raw = zz - xz * l20 - (yz - xz * l10) * l21
+    bad2 = jnp.abs(d2_raw) < _PIVOT_EPS
+    d2 = jnp.where(bad2, 1.0, d2_raw)
+
+    y0 = b[0]
+    y1 = b[1] - l10 * y0
+    y2 = b[2] - l20 * y0 - l21 * y1
+    z0 = y0 / d0
+    z1 = y1 / d1
+    z2 = y2 / d2
+    x2 = z2
+    x1 = z1 - l21 * x2
+    x0 = z0 - l10 * x1 - l20 * x2
+    bad = bad0 | bad1 | bad2
+    zero = jnp.zeros_like(x0)
+    return (
+        jnp.where(bad, zero, x0),
+        jnp.where(bad, zero, x1),
+        jnp.where(bad, zero, x2),
+    )
+
+
+def solve66_cm(a_ll, a_la, a_aa, b_l, b_a):
+    """Component-form 6x6 Schur solve (structure of solver.cpp:68-83).
+
+    a_ll: 6 symmetric comps; a_la: 9 row-major comps ([i*3+j] = row i, col j);
+    a_aa: 6 symmetric comps; b_l/b_a: 3 comps each.  A_al = A_la^T.
+    Returns (dl (3,), da (3,)) component tuples.
+    """
+    # AinvB column j = A_ll^{-1} * A_la[:, j]
+    cols = [
+        solve3_sym_cm(a_ll, (a_la[0 + j], a_la[3 + j], a_la[6 + j]))
+        for j in range(3)
+    ]
+    # AinvB[k][j] = cols[j][k]
+    x0 = solve3_sym_cm(a_ll, b_l)
+    # schur[i][j] = aa[i][j] - sum_k la[k*3+i] * AinvB[k][j]  (al = la^T)
+    aa = {
+        (0, 0): a_aa[0], (0, 1): a_aa[1], (0, 2): a_aa[2],
+        (1, 1): a_aa[3], (1, 2): a_aa[4], (2, 2): a_aa[5],
+    }
+    schur = []
+    for (i, j) in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
+        s = aa[(i, j)]
+        for k in range(3):
+            s = s - a_la[k * 3 + i] * cols[j][k]
+        schur.append(s)
+    rhs_s = []
+    for i in range(3):
+        s = b_a[i]
+        for k in range(3):
+            s = s - a_la[k * 3 + i] * x0[k]
+        rhs_s.append(s)
+    y = solve3_sym_cm(tuple(schur), tuple(rhs_s))
+    dl = tuple(x0[k] - sum(cols[j][k] * y[j] for j in range(3)) for k in range(3))
+    return dl, y
+
+
 def solve66(A_ll, A_la, A_al, A_aa, b_l, b_a):
     """Batched 6x6 block solve via Schur complement on the angular block.
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..config import Capacity, SolverParams
 from ..state import (
     Bodies,
-    INACTIVE_KEY,
     World,
     empty_contacts,
     empty_joints,
@@ -98,10 +97,11 @@ class SceneBuilder:
         self.ignores.append((a, b))
 
     # ------------------------------------------------------------------
-    def build(self, params: SolverParams, max_pairs=None, max_degree=None) -> tuple:
+    def build(self, params: SolverParams, max_degree=None) -> tuple:
         n_real = len(self.size)
-        # Pad body count to a multiple of 8 (>= 8) for TPU-friendly layouts.
-        n = max(8, -(-max(n_real, 1) // 8) * 8)
+        # Pad body count to a multiple of 128 (one full TPU lane group; the
+        # replicated contact cache keys bodies as (group, lane)).
+        n = max(128, -(-max(n_real, 1) // 128) * 128)
         pad = n - n_real
 
         size = np.asarray(self.size + [[0.0] * 3] * pad, np.float32).reshape(n, 3)
@@ -191,23 +191,29 @@ class SceneBuilder:
             springs = springs.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
 
         # --- exclusions: any constrained pair never collides
-        # (rigid.cpp:61-69 via broadphase check, solver.cpp:266) ---
-        excl = set()
+        # (rigid.cpp:61-69 via broadphase check, solver.cpp:266).  Stored as
+        # a per-body partner table (E, G, 128), -1 = empty. ---
+        partners = [[] for _ in range(n)]
+        pairs = set()
         for (a, b, *_r) in self.joints + self.springs:
             if a >= 0:
-                excl.add((min(a, b), max(a, b)))
+                pairs.add((min(a, b), max(a, b)))
         for (a, b) in self.ignores:
-            excl.add((min(a, b), max(a, b)))
-        excl_keys = np.asarray(sorted(i * n + j for i, j in excl), np.int32)
+            pairs.add((min(a, b), max(a, b)))
+        for (i, j) in pairs:
+            partners[i].append(j)
+            partners[j].append(i)
+        e_deg = max((len(p) for p in partners), default=0)
+        n_groups = n // 128
+        excl = np.full((max(e_deg, 0), n_groups, 128), -1, np.int32)
+        for body, plist in enumerate(partners):
+            for e, j in enumerate(sorted(plist)):
+                excl[e, body // 128, body % 128] = j
 
         # --- capacity plan ---
-        if max_pairs is None:
-            max_pairs = _auto_pairs(pos[:n_real], radius[:n_real])
-        max_pairs = int(min(max_pairs, n * n))
         if max_degree is None:
             max_degree = 32 if n_real > 256 else 16
         cap = Capacity(
-            max_pairs=max_pairs,
             max_degree=max_degree,
             joint_degree=j_deg,
             spring_degree=s_deg,
@@ -215,29 +221,14 @@ class SceneBuilder:
 
         world = World(
             bodies=bodies,
-            contacts=empty_contacts(max_pairs),
+            contacts=empty_contacts(n_groups, max_degree),
             joints=joints,
             springs=springs,
-            exclusion_keys=jnp.asarray(excl_keys),
+            exclusions=jnp.asarray(excl),
             step_index=jnp.int32(0),
             diagnostics=zero_diagnostics(),
         )
         return world, params, cap, n_real
-
-
-def _auto_pairs(pos, radius) -> int:
-    """Initial-overlap-based candidate-pair capacity with generous slack."""
-    n = pos.shape[0]
-    if n <= 1:
-        return 8
-    if n <= 128:
-        return _ceil_pow2(max(16, n * 8))
-    # Large scenes: ~16 pairs per body covers dense pile packing.
-    return _ceil_pow2(n * 16)
-
-
-def _ceil_pow2(x: int) -> int:
-    return 1 << (int(x) - 1).bit_length()
 
 
 def _incidence_np(a_idx, b_idx, n, degree):
@@ -293,13 +284,13 @@ def _ground(sb: SceneBuilder):
 
 def scene_empty():
     sb = SceneBuilder()
-    return sb.build(SolverParams(), max_pairs=8)
+    return sb.build(SolverParams())
 
 
 def scene_ground():
     sb = SceneBuilder()
     _ground(sb)
-    return sb.build(SolverParams(), max_pairs=8)
+    return sb.build(SolverParams())
 
 
 def scene_stack():
@@ -308,7 +299,7 @@ def scene_stack():
     _ground(sb)
     for i in range(10):
         sb.add_body((1, 1, 1), 1.0, 0.5, (0, i * 1.1 + 0.5, 0))
-    return sb.build(SolverParams(), max_pairs=64)
+    return sb.build(SolverParams())
 
 
 def scene_pyramid():
@@ -321,7 +312,7 @@ def scene_pyramid():
             x_pos = (x - (size - y - 1) * 0.5) * 1.1
             y_pos = y * 1.05 + 0.5
             sb.add_body((1, 1, 1), 1.0, 0.5, (x_pos, y_pos, 0))
-    return sb.build(SolverParams(), max_pairs=512)
+    return sb.build(SolverParams())
 
 
 def scene_wall():
@@ -338,7 +329,7 @@ def scene_wall():
             x = (j - (w - 1) * 0.5) * spacing_x + x_off
             y = i * spacing_y + base_y
             sb.add_body(brick, 1.0, 0.4, (x, y, -5))
-    return sb.build(SolverParams(), max_pairs=512)
+    return sb.build(SolverParams())
 
 
 def scene_two_block_drop():
@@ -348,7 +339,7 @@ def scene_two_block_drop():
     sb.add_body((1, 1, 1), 1.0, 0.5, (0, 0.5, 0))
     tilt = _axis_angle_np((0, 0, 1), 0.45)
     sb.add_body((1, 1, 1), 1.0, 0.5, (0.18, 2.2, 0), tilt, (0, 0, 0), (0, 0, 1))
-    return sb.build(SolverParams(), max_pairs=32)
+    return sb.build(SolverParams())
 
 
 def _hash01(x: int) -> float:
@@ -382,7 +373,7 @@ def scene_stress1000():
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    return sb.build(params, max_pairs=16384, max_degree=32)
+    return sb.build(params, max_degree=40)
 
 
 def scene_rod():
@@ -391,7 +382,7 @@ def scene_rod():
     sb = SceneBuilder()
     for i in range(15):
         sb.add_body((0.25, 1, 0.25), 0.0 if i == 0 else 1.0, 0.5, (0, 10.0 - i, 0))
-    return sb.build(SolverParams(), max_pairs=256)
+    return sb.build(SolverParams())
 
 
 def scene_soft_body():
@@ -404,7 +395,7 @@ def scene_soft_body():
         for j in range(h):
             sb.add_body((0.5, 0.5, 0.5), 1.0, 0.3,
                         (i * 0.6 - w * 0.3, j * 0.6 + 2.0, 0))
-    return sb.build(SolverParams(), max_pairs=2048)
+    return sb.build(SolverParams())
 
 
 # --- extension scenes: the constraint system actually wired up -------------
@@ -420,7 +411,7 @@ def scene_rod_jointed():
         if prev is not None:
             sb.add_joint(prev, curr, (0, -0.5, 0), (0, 0.5, 0))
         prev = curr
-    return sb.build(SolverParams(), max_pairs=256)
+    return sb.build(SolverParams())
 
 
 def scene_soft_grid():
@@ -446,7 +437,7 @@ def scene_soft_grid():
             if i > 0 and j > 0:
                 sb.ignore_collision(grid[i - 1][j - 1], grid[i][j])
                 sb.ignore_collision(grid[i - 1][j], grid[i][j - 1])
-    return sb.build(SolverParams(), max_pairs=2048)
+    return sb.build(SolverParams())
 
 
 SCENES = {

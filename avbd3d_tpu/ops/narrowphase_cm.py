@@ -391,7 +391,7 @@ def collide_pairs_cm(body_a, body_b, margin):
             x_a = cm.where(use_edge, edge_x_a, face_x_a)
             x_b = cm.where(use_edge, edge_x_b, face_x_b)
             feat = jnp.where(use_edge, edge_feature, face_feat)
-            ok = jnp.where(use_edge, True, picks_ok[slot])
+            ok = use_edge | picks_ok[slot]
         else:
             x_a = face_x_a
             x_b = face_x_b

@@ -45,5 +45,9 @@ def shard_batch(worlds: World, mesh: Mesh, axis: str = "data") -> World:
 
 @functools.partial(jax.jit, static_argnames=("params", "cap"))
 def batched_step(worlds: World, params: SolverParams, cap: Capacity) -> World:
-    """One step for every world in the batch (shardings propagate)."""
+    """One step for every world in the batch (shardings propagate).
+
+    Uses the XLA backend: vmapping the whole-VMEM Pallas mega-kernels is
+    not meaningful — batched worlds tile the portable path instead."""
+    cap = cap.replace(backend="xla")
     return jax.vmap(lambda w: step.__wrapped__(w, params, cap))(worlds)

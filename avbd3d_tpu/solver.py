@@ -3,8 +3,10 @@
 TPU-native rebuild of ``Solver::step`` (solver.cpp:255-514).  The reference's
 six phases map as:
 
-  1. Broadphase              -> masked all-pairs sphere test + static pair list
-  2. Init/warmstart forces   -> component-major narrowphase + sorted-key merge
+  1. Broadphase              -> masked all-pairs sphere test + per-body
+                                neighbor slots (ops/broadphase.py)
+  2. Init/warmstart forces   -> replicated narrowphase + body-local
+                                cross-step matching (ops/replicated.py)
   3. Predict body states     -> vectorized inertial prediction
   4. Iterative solve         -> lax.fori_loop of (Jacobi primal block solve +
                                 dual ascent).  The C++ primal is Gauss-Seidel
@@ -16,13 +18,12 @@ six phases map as:
   5. Velocity update         -> vectorized finite-difference + damping
   6. Diagnostics             -> on-device reductions, returned as a pytree
 
-Hot-path layout: everything per-pair is component-major ((P,) arrays, pair
-axis in the TPU lane dimension — see cm.py).  Constraint rows are evaluated
-in pair space; per-(pair, side) force/LHS contributions are reduced there to
-a compact (2P, 32) matrix, and each body gathers its incident rows through a
-per-step (N, D) incidence table — no scatters inside the iteration loop.
-The per-body 6x6 solve uses the batched LDL/Schur kernel (maths.solve66),
-mirroring solver.cpp:344-409 math exactly.
+All contact state lives in the replicated body-major cache (state.Contacts):
+constraint aggregation is a plain reduction over each body's D neighbor
+slots; the only cross-body communication is the neighbor-pose fetch.  This
+module is the portable XLA backend (native gathers — fast on CPU); the
+Pallas TPU backend (solver_tpu.py) runs the same replicated core inside
+mega-kernels.
 """
 
 from __future__ import annotations
@@ -39,20 +40,11 @@ from .maths import (
     quat_conj,
     quat_mul,
     quat_normalize,
-    quat_rotate,
     quat_vec_doubled,
     solve66,
 )
-from .ops.broadphase import build_incidence, decode_keys, sphere_pairs
-from .ops.contacts import (
-    contact_dual_update,
-    contact_geometry,
-    contact_pair_constants,
-    contact_primal_force,
-    contact_rows,
-    contact_side_contributions,
-    match_and_init,
-)
+from .ops import replicated as rep
+from .ops.broadphase import neighbor_lists
 from .ops.joints import (
     joint_decay,
     joint_dual_update,
@@ -60,7 +52,6 @@ from .ops.joints import (
     joint_primal_force,
     joint_row_state,
 )
-from .ops.narrowphase_cm import collide_pairs_cm
 from .ops.springs import (
     spring_decay,
     spring_jacobians,
@@ -86,10 +77,8 @@ def _clamp_angular(w, max_speed):
 
 
 def _world_inertia_components(quat_arr, diag):
-    """I_w = R diag R^T as 6 upper-tri components (xx,xy,xz,yy,yz,zz).
-
-    R's columns are the body axes, so I_w[i][j] = sum_k d_k ax_k[i] ax_k[j]
-    (rigid.cpp:51-59)."""
+    """I_w = R diag R^T as 6 upper-tri components (xx,xy,xz,yy,yz,zz);
+    R's columns are the body axes (rigid.cpp:51-59)."""
     q = (quat_arr[:, 0], quat_arr[:, 1], quat_arr[:, 2], quat_arr[:, 3])
     axes = cm.q_axes(q)
     d = (diag[:, 0], diag[:, 1], diag[:, 2])
@@ -100,7 +89,6 @@ def _world_inertia_components(quat_arr, diag):
 
 
 def _sym33(comps):
-    """(xx,xy,xz,yy,yz,zz) components -> (N, 3, 3)."""
     xx, xy, xz, yy, yz, zz = comps
     row0 = jnp.stack([xx, xy, xz], axis=-1)
     row1 = jnp.stack([xy, yy, yz], axis=-1)
@@ -108,63 +96,34 @@ def _sym33(comps):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "cap"))
-def step(world: World, params: SolverParams, cap: Capacity) -> World:
-    b = world.bodies
+def body_tables(b):
+    """Split body state into (G, 128) component tables for the replicated
+    core."""
+    n = b.n
+    g = n // 128
+
+    def r(x):
+        return x.reshape(g, 128)
+
+    half = b.size * 0.5
+    return {
+        "pos": tuple(r(b.pos[:, k]) for k in range(3)),
+        "quat": tuple(r(b.quat[:, k]) for k in range(4)),
+        "half": tuple(r(half[:, k]) for k in range(3)),
+        "inv_mass": r(b.inv_mass),
+        "friction": r(b.friction),
+    }
+
+
+def predict(b, params):
+    """Phase 3: inertial prediction (solver.cpp:299-337).
+
+    Returns (linvel, angvel, inertial_pos, inertial_quat, pos_start,
+    quat_start, sanitized)."""
     n = b.n
     dt = params.dt
     gravity = jnp.asarray(params.gravity, jnp.float32)
     sanitized = jnp.int32(0)
-
-    # ------------------------------------------------------------------
-    # Phase 1: broadphase (solver.cpp:261-270)
-    # ------------------------------------------------------------------
-    keys, pair_overflow = sphere_pairs(b.pos, b.radius, world.exclusion_keys, cap.max_pairs)
-    ia, ib, pair_valid = decode_keys(keys, n)
-
-    # ------------------------------------------------------------------
-    # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
-    # ------------------------------------------------------------------
-    half = b.size * 0.5
-    px0, py0, pz0 = cm.splat(b.pos)
-    qx0, qy0, qz0, qw0 = cm.splat4(b.quat)
-    hx, hy, hz = cm.splat(half)
-
-    def side(idx):
-        return {
-            "pos": (px0[idx], py0[idx], pz0[idx]),
-            "quat": (qx0[idx], qy0[idx], qz0[idx], qw0[idx]),
-            "half": (hx[idx], hy[idx], hz[idx]),
-        }
-
-    body_a = side(ia)
-    body_b = side(ib)
-    geom_np = collide_pairs_cm(body_a, body_b, params.collision_margin)
-    # Mask inactive pair slots.
-    geom_np["slot_ok"] = [ok & pair_valid for ok in geom_np["slot_ok"]]
-    geom_np["feature"] = [
-        jnp.where(ok, ft, -1) for ok, ft in zip(geom_np["slot_ok"], geom_np["feature"])
-    ]
-    geom_np["count"] = jnp.where(pair_valid, geom_np["count"], 0)
-
-    pair_body = {
-        "pa": body_a["pos"],
-        "qa": body_a["quat"],
-        "pb": body_b["pos"],
-        "qb": body_b["quat"],
-    }
-    contacts = match_and_init(world.contacts, keys, geom_np, pair_body, params)
-    joints = joint_decay(world.joints, params)
-    springs = spring_decay(world.springs, params)
-
-    inc, inc_sign, degree_overflow = build_incidence(
-        ia, ib, geom_np["count"] > 0, b.dynamic, n, cap.max_degree
-    )
-    consts = contact_pair_constants(contacts, b.inv_mass, b.friction)
-
-    # ------------------------------------------------------------------
-    # Phase 3: inertial prediction (solver.cpp:299-337)
-    # ------------------------------------------------------------------
     dyn = b.dynamic
     dynf = dyn[:, None].astype(jnp.float32)
 
@@ -180,8 +139,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     inertial_quat = quat_normalize(quat0 + quat_mul(omega_q, quat0) * (0.5 * dt))
     inertial_quat = jnp.where(dyn[:, None], inertial_quat, quat0)
 
-    # Adaptive gravity weight from measured acceleration (solver.cpp:319-325).
-    g_len = float(sum(g * g for g in params.gravity) ** 0.5)
+    g_len = float(sum(x * x for x in params.gravity) ** 0.5)
     if g_len > 1e-5:
         accel = (linvel - b.prev_linvel) / dt
         projected = accel @ (gravity / g_len)
@@ -192,171 +150,21 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
     pos_start = pos0 + (linvel * dt + gravity[None, :] * (accel_weight[:, None] * dt * dt)) * dynf
     pos_start, sanitized = _sanitize(pos_start, pos0, sanitized)
-    quat_start = inertial_quat
+    return linvel, angvel, inertial_pos, inertial_quat, pos_start, inertial_quat, sanitized
 
-    # ------------------------------------------------------------------
-    # Phase 4: iterative solve (solver.cpp:340-431)
-    # ------------------------------------------------------------------
-    inv_dt2 = 1.0 / (dt * dt)
-    mass = b.mass
-    has_joints = joints.incidence.shape[1] > 0
-    has_springs = springs.incidence.shape[1] > 0
-    p_cap = cap.max_pairs
-    eye = jnp.eye(3)
 
-    # Incidence gather indices into the (2P, 32) contribution matrix.
-    inc_ok = inc >= 0
-    pc = jnp.where(inc_ok, inc, 0)
-    side_idx = pc + jnp.where(inc_sign < 0.0, p_cap, 0)      # (N, D)
-    inc_w = inc_ok.astype(jnp.float32)[..., None]
+def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
+             linvel, angvel, lam_c, sep_slots, overflow, sanitized, params):
+    """Phases 5+6: velocity reconstruction + damping (solver.cpp:433-469)
+    and diagnostics (solver.cpp:471-513).
 
-    def assemble_and_solve(pos, quat, geom, f_rows, pen, jrs, f_j, pen_j, srs, f_s, pen_s):
-        iw = _world_inertia_components(quat, b.inertia)
-        iiw = _world_inertia_components(quat, b.inv_inertia)
-        i_world = _sym33(iw)
+    ``sep_slots``: (4, D, G, 128) raw contact separations at the final
+    poses (the backend's last geometry evaluation)."""
+    n = b.n
+    g = n // 128
+    dt = params.dt
+    dyn = b.dynamic
 
-        rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
-        q_err = quat_mul(quat, quat_conj(inertial_quat))
-        rot_err = quat_vec_doubled(q_err)
-        rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
-
-        # Pair-space contributions -> one gather + reduce per body.
-        iiw_a = tuple(c[consts["ia"]] for c in iiw)
-        iiw_b = tuple(c[consts["ib"]] for c in iiw)
-        contrib = contact_side_contributions(geom, f_rows, pen, iiw_a, iiw_b)
-        agg = jnp.sum(contrib[side_idx] * inc_w, axis=1)     # (N, 32)
-
-        rhs_l += agg[:, 0:3]
-        rhs_a += agg[:, 3:6]
-        m_ll = _sym33([agg[:, 6 + k] for k in range(6)])
-        m_la = agg[:, 12:21].reshape(n, 3, 3)
-        m_aa = _sym33([agg[:, 21 + k] for k in range(6)])
-        gyro = agg[:, 27:30]
-
-        lhs_ll = m_ll + eye[None] * (mass * inv_dt2)[:, None, None]
-        lhs_la = m_la
-        lhs_al = jnp.swapaxes(m_la, -1, -2)
-        lhs_aa = m_aa + i_world * inv_dt2 + eye[None] * gyro[:, :, None]
-
-        # ---- joint rows (precomputed incidence) ----
-        if has_joints:
-            jidx = joints.incidence
-            jok = jidx >= 0
-            jc = jnp.where(jok, jidx, 0)
-            jl_a, ja_a = joint_jacobians(jrs, +1)
-            jl_b, ja_b = joint_jacobians(jrs, -1)
-            is_a = (joints.inc_side > 0)[..., None, None]
-            jl = jnp.where(is_a, jl_a[jc], jl_b[jc])         # (N, DJ, 6, 3)
-            ja = jnp.where(is_a, ja_a[jc], ja_b[jc])
-            wj = (jok[..., None] & jrs["active"][jc][..., None]).astype(jnp.float32)
-            fj = f_j[jc] * wj
-            pj = pen_j[jc] * wj
-            rhs_l += jnp.einsum("ndri,ndr->ni", jl, fj)
-            rhs_a += jnp.einsum("ndri,ndr->ni", ja, fj)
-            lhs_ll += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, jl)
-            lhs_la += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, ja)
-            lhs_al += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, jl)
-            lhs_aa += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, ja)
-
-        # ---- spring rows ----
-        if has_springs:
-            sidx = springs.incidence
-            sok = sidx >= 0
-            sc = jnp.where(sok, sidx, 0)
-            sl_a, sa_a = spring_jacobians(srs, +1)
-            sl_b, sa_b = spring_jacobians(srs, -1)
-            is_a = (springs.inc_side > 0)[..., None]
-            sl = jnp.where(is_a, sl_a[sc], sl_b[sc])         # (N, DS, 3)
-            sa = jnp.where(is_a, sa_a[sc], sa_b[sc])
-            ws = (sok & srs["active"][sc]).astype(jnp.float32)
-            fs = f_s[sc] * ws
-            ps = pen_s[sc] * ws
-            rhs_l += jnp.einsum("ndi,nd->ni", sl, fs)
-            rhs_a += jnp.einsum("ndi,nd->ni", sa, fs)
-            lhs_ll += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sl)
-            lhs_la += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sa)
-            lhs_al += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sl)
-            lhs_aa += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sa)
-
-        dl, da = solve66(lhs_ll, lhs_la, lhs_al, lhs_aa, rhs_l, rhs_a)
-        return dl, da
-
-    total_iters = params.iterations + (1 if params.post_stabilize else 0)
-
-    def geom_at(pos, quat):
-        px, py, pz = cm.splat(pos)
-        qx, qy, qz, qw = cm.splat4(quat)
-        return contact_geometry(contacts, consts, px, py, pz, qx, qy, qz, qw)
-
-    def iteration(it, carry):
-        pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san = carry
-        if params.post_stabilize:
-            alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
-        else:
-            alpha_cur = jnp.float32(params.alpha)
-
-        # --- primal (solver.cpp:344-409); geometry was evaluated at these
-        # exact poses at the end of the previous iteration ---
-        crs = contact_rows(geom, contacts, consts, lam_c, pen_c, stick, alpha_cur, params)
-        f_c = contact_primal_force(crs, pen_c)
-        jrs = joint_row_state(joints, pos, quat, lam_j)
-        f_j = joint_primal_force(jrs, pen_j)
-        srs = spring_row_state(springs, pos, quat)
-        f_s = spring_primal_force(srs, springs.penalty)
-
-        dl, da = assemble_and_solve(
-            pos, quat, geom, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
-        )
-        relax = params.relaxation
-        new_pos = pos - relax * dl * dynf
-        dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
-        new_quat = quat_normalize(quat - quat_mul(dq, quat) * 0.5)
-        new_quat = jnp.where(dyn[:, None], new_quat, quat)
-        new_pos, san = _sanitize(new_pos, pos, san)
-        new_quat, san = _sanitize(new_quat, quat, san)
-
-        # --- dual (solver.cpp:411-429) at the post-primal poses; the same
-        # geometry evaluation feeds the next iteration's primal ---
-        geom2 = geom_at(new_pos, new_quat)
-        crs2 = contact_rows(
-            geom2, contacts, consts, jnp.stack(crs["lam"]), pen_c,
-            jnp.stack(crs["stick"]), alpha_cur, params,
-        )
-        lam_c2, pen_c2, stick2 = contact_dual_update(crs2, geom2, pen_c, params.beta, params)
-        jrs2 = joint_row_state(joints, new_pos, new_quat, lam_j)
-        lam_j2, pen_j2 = joint_dual_update(jrs2, pen_j, params.beta, params)
-
-        # The dual update is skipped on the post-stabilize extra iteration.
-        do_dual = it < params.iterations
-        lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))
-        pen_c = jnp.where(do_dual, pen_c2, pen_c)
-        stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
-        lam_j = jnp.where(do_dual, lam_j2, lam_j)
-        pen_j = jnp.where(do_dual, pen_j2, pen_j)
-        return new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j, san
-
-    geom0 = geom_at(pos_start, quat_start)
-    carry0 = (
-        pos_start,
-        quat_start,
-        geom0,
-        contacts.lam,
-        contacts.penalty,
-        contacts.stick,
-        joints.lam,
-        joints.penalty,
-        sanitized,
-    )
-    pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized = lax.fori_loop(
-        0, total_iters, iteration, carry0
-    )
-
-    contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)
-    joints = joints.replace(lam=lam_j, penalty=pen_j)
-
-    # ------------------------------------------------------------------
-    # Phase 5: velocity reconstruction + damping (solver.cpp:433-469)
-    # ------------------------------------------------------------------
     new_linvel = (pos_f - pos0) / dt * params.linear_damping
     delta_q = quat_mul(quat_f, quat_conj(quat0))
     new_angvel = quat_vec_doubled(delta_q) / dt * params.angular_damping
@@ -377,16 +185,14 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         prev_angvel=jnp.where(dyn[:, None], angvel, b.prev_angvel),
     )
 
-    # ------------------------------------------------------------------
-    # Phase 6: diagnostics (solver.cpp:471-513)
-    # ------------------------------------------------------------------
-    geom_f = geom_at(pos_f, quat_f)
+    valid = contacts.other >= 0
+    once = (rep.body_iota(g)[None] < contacts.other) & valid
     max_pen = jnp.float32(0.0)
     max_violation = jnp.float32(0.0)
     max_lam_n = jnp.float32(0.0)
     for s in range(4):
-        ok = consts["slot_ok"][s]
-        sep = geom_f["sep"][s]
+        ok = (jnp.int32(s) < contacts.count) & valid
+        sep = sep_slots[s]
         max_pen = jnp.maximum(max_pen, jnp.max(jnp.where(ok, -sep, 0.0), initial=0.0))
         max_violation = jnp.maximum(
             max_violation,
@@ -402,11 +208,11 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         max_linear_speed=jnp.max(lin_speed, initial=0.0),
         max_angular_speed=jnp.max(ang_speed, initial=0.0),
         max_normal_impulse=max_lam_n,
-        active_contacts=jnp.sum(contacts.count),
-        active_manifolds=jnp.sum((contacts.count > 0).astype(jnp.int32)),
+        active_contacts=jnp.sum(jnp.where(once, contacts.count, 0)),
+        active_manifolds=jnp.sum((once & (contacts.count > 0)).astype(jnp.int32)),
         dynamic_bodies=jnp.sum(dyn.astype(jnp.int32)),
-        pair_overflow=pair_overflow,
-        degree_overflow=degree_overflow,
+        pair_overflow=overflow,
+        degree_overflow=jnp.int32(0),
         sanitized=sanitized,
     )
 
@@ -420,14 +226,224 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("params", "cap"))
+def step(world: World, params: SolverParams, cap: Capacity) -> World:
+    # Backend dispatch (trace-time static): the Pallas mega-kernel path
+    # covers contact-only scenes with <= 1024 bodies on TPU; everything else
+    # (joints/springs, big N, CPU) uses the portable XLA path.
+    supports_pallas = (
+        world.joints.j == 0
+        and world.springs.s == 0
+        and world.bodies.n <= 1024
+    )
+    if cap.backend == "pallas":
+        use_pallas = True
+    elif cap.backend == "xla":
+        use_pallas = False
+    else:
+        use_pallas = supports_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        from . import solver_tpu
+
+        return solver_tpu.step_pallas(world, params, cap)
+    return _step_impl(world, params, cap, rep.xla_gather)
+
+
+def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> World:
+    b = world.bodies
+    n = b.n
+    g = n // 128
+    dt = params.dt
+    tables = body_tables(b)
+
+    # ------------------------------------------------------------------
+    # Phase 1: broadphase (solver.cpp:261-270)
+    # ------------------------------------------------------------------
+    neighbors, overflow = neighbor_lists(b.pos, b.radius, world.exclusions, cap.max_degree)
+
+    # ------------------------------------------------------------------
+    # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
+    # ------------------------------------------------------------------
+    contacts = rep.collide_and_init(world.contacts, neighbors, tables, params, gather)
+    joints = joint_decay(world.joints, params)
+    springs = spring_decay(world.springs, params)
+    consts = rep.pair_constants(contacts.other, tables, gather)
+
+    # ------------------------------------------------------------------
+    # Phase 3: inertial prediction (solver.cpp:299-337)
+    # ------------------------------------------------------------------
+    dyn = b.dynamic
+    dynf = dyn[:, None].astype(jnp.float32)
+    linvel, angvel, inertial_pos, inertial_quat, pos_start, quat_start, sanitized = predict(b, params)
+    pos0 = b.pos
+    quat0 = b.quat
+
+    # ------------------------------------------------------------------
+    # Phase 4: iterative solve (solver.cpp:340-431)
+    # ------------------------------------------------------------------
+    inv_dt2 = 1.0 / (dt * dt)
+    mass = b.mass
+    has_joints = joints.incidence.shape[1] > 0
+    has_springs = springs.incidence.shape[1] > 0
+    eye = jnp.eye(3)
+
+    def pose_dict(pos, quat):
+        return {
+            "pos": tuple(pos[:, k].reshape(g, 128) for k in range(3)),
+            "quat": tuple(quat[:, k].reshape(g, 128) for k in range(4)),
+        }
+
+    def assemble_and_solve(pos, quat, geom, f_rows, pen, jrs, f_j, pen_j, srs, f_s, pen_s):
+        iw = _world_inertia_components(quat, b.inertia)
+        iiw = _world_inertia_components(quat, b.inv_inertia)
+        i_world = _sym33(iw)
+
+        rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
+        q_err = quat_mul(quat, quat_conj(inertial_quat))
+        rot_err = quat_vec_doubled(q_err)
+        rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
+
+        iiw_g = [c.reshape(g, 128) for c in iiw]
+        sys = rep.body_system(geom, f_rows, pen, iiw_g)
+
+        def flat(comps):
+            return jnp.stack([c.reshape(n) for c in comps], axis=-1)
+
+        rhs_l += flat(sys["F"])
+        rhs_a += flat(sys["T"])
+        m_ll = _sym33([c.reshape(n) for c in sys["m_ll"]])
+        m_la = jnp.stack([c.reshape(n) for c in sys["m_la"]], axis=-1).reshape(n, 3, 3)
+        m_aa = _sym33([c.reshape(n) for c in sys["m_aa"]])
+        gyro = flat(sys["gyro"])
+
+        lhs_ll = m_ll + eye[None] * (mass * inv_dt2)[:, None, None]
+        lhs_la = m_la
+        lhs_al = jnp.swapaxes(m_la, -1, -2)
+        lhs_aa = m_aa + i_world * inv_dt2 + eye[None] * gyro[:, :, None]
+
+        # ---- joint rows (precomputed incidence) ----
+        if has_joints:
+            jidx = joints.incidence
+            jok = jidx >= 0
+            jc = jnp.where(jok, jidx, 0)
+            jl_a, ja_a = joint_jacobians(jrs, +1)
+            jl_b, ja_b = joint_jacobians(jrs, -1)
+            is_a = (joints.inc_side > 0)[..., None, None]
+            jl = jnp.where(is_a, jl_a[jc], jl_b[jc])
+            ja = jnp.where(is_a, ja_a[jc], ja_b[jc])
+            wj = (jok[..., None] & jrs["active"][jc][..., None]).astype(jnp.float32)
+            fj = f_j[jc] * wj
+            pj = pen_j[jc] * wj
+            rhs_l += jnp.einsum("ndri,ndr->ni", jl, fj)
+            rhs_a += jnp.einsum("ndri,ndr->ni", ja, fj)
+            lhs_ll += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, jl)
+            lhs_la += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, ja)
+            lhs_al += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, jl)
+            lhs_aa += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, ja)
+
+        # ---- spring rows ----
+        if has_springs:
+            sidx = springs.incidence
+            sok = sidx >= 0
+            sc = jnp.where(sok, sidx, 0)
+            sl_a, sa_a = spring_jacobians(srs, +1)
+            sl_b, sa_b = spring_jacobians(srs, -1)
+            is_a = (springs.inc_side > 0)[..., None]
+            sl = jnp.where(is_a, sl_a[sc], sl_b[sc])
+            sa = jnp.where(is_a, sa_a[sc], sa_b[sc])
+            ws = (sok & srs["active"][sc]).astype(jnp.float32)
+            fs = f_s[sc] * ws
+            ps = pen_s[sc] * ws
+            rhs_l += jnp.einsum("ndi,nd->ni", sl, fs)
+            rhs_a += jnp.einsum("ndi,nd->ni", sa, fs)
+            lhs_ll += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sl)
+            lhs_la += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sa)
+            lhs_al += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sl)
+            lhs_aa += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sa)
+
+        dl, da = solve66(lhs_ll, lhs_la, lhs_al, lhs_aa, rhs_l, rhs_a)
+        return dl, da
+
+    total_iters = params.iterations + (1 if params.post_stabilize else 0)
+
+    def iteration(it, carry):
+        pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san = carry
+        if params.post_stabilize:
+            alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
+        else:
+            alpha_cur = jnp.float32(params.alpha)
+
+        # --- primal (solver.cpp:344-409); geometry was evaluated at these
+        # exact poses at the end of the previous iteration ---
+        crs = rep.eval_rows(geom, contacts, consts, lam_c, pen_c, stick, alpha_cur, params)
+        f_c = rep.primal_force(crs, pen_c)
+        jrs = joint_row_state(joints, pos, quat, lam_j)
+        f_j = joint_primal_force(jrs, pen_j)
+        srs = spring_row_state(springs, pos, quat)
+        f_s = spring_primal_force(srs, springs.penalty)
+
+        dl, da = assemble_and_solve(
+            pos, quat, geom, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
+        )
+        relax = params.relaxation
+        new_pos = pos - relax * dl * dynf
+        dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
+        new_quat = quat_normalize(quat - quat_mul(dq, quat) * 0.5)
+        new_quat = jnp.where(dyn[:, None], new_quat, quat)
+        new_pos, san = _sanitize(new_pos, pos, san)
+        new_quat, san = _sanitize(new_quat, quat, san)
+
+        # --- dual (solver.cpp:411-429) at the post-primal poses; the same
+        # geometry evaluation feeds the next iteration's primal ---
+        geom2 = rep.eval_geometry(contacts, pose_dict(new_pos, new_quat), consts, gather)
+        crs2 = rep.eval_rows(
+            geom2, contacts, consts, jnp.stack(crs["lam"]), pen_c,
+            jnp.stack(crs["stick"]), alpha_cur, params,
+        )
+        lam_c2, pen_c2, stick2 = rep.dual_update(crs2, geom2, pen_c, params.beta, params)
+        jrs2 = joint_row_state(joints, new_pos, new_quat, lam_j)
+        lam_j2, pen_j2 = joint_dual_update(jrs2, pen_j, params.beta, params)
+
+        do_dual = it < params.iterations
+        lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))
+        pen_c = jnp.where(do_dual, pen_c2, pen_c)
+        stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
+        lam_j = jnp.where(do_dual, lam_j2, lam_j)
+        pen_j = jnp.where(do_dual, pen_j2, pen_j)
+        return new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j, san
+
+    geom0 = rep.eval_geometry(contacts, pose_dict(pos_start, quat_start), consts, gather)
+    carry0 = (
+        pos_start,
+        quat_start,
+        geom0,
+        contacts.lam,
+        contacts.penalty,
+        contacts.stick,
+        joints.lam,
+        joints.penalty,
+        sanitized,
+    )
+    pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized = lax.fori_loop(
+        0, total_iters, iteration, carry0
+    )
+
+    contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)
+    joints = joints.replace(lam=lam_j, penalty=pen_j)
+
+    # Final-pose separations for diagnostics from one more geometry eval.
+    geom_f = rep.eval_geometry(contacts, pose_dict(pos_f, quat_f), consts, gather)
+    sep_slots = jnp.stack(geom_f["sep"])
+
+    return finalize(
+        world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
+        linvel, angvel, lam_c, sep_slots, overflow, sanitized, params,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("params", "cap", "n_steps"))
 def run_steps(world: World, params: SolverParams, cap: Capacity, n_steps: int) -> World:
-    """Advance ``n_steps`` on-device in one dispatch (lax.scan over step).
-
-    The headless C++ loop dispatches one step per frame; on TPU the
-    host->device round trip would dominate at these step times, so the
-    benchmark/throughput path runs whole step blocks per launch.
-    """
+    """Advance ``n_steps`` on-device in one dispatch (lax.scan over step)."""
 
     def body(w, _):
         return step.__wrapped__(w, params, cap), None

@@ -75,56 +75,68 @@ class Bodies:
 @_pytree
 @dataclasses.dataclass(frozen=True)
 class Contacts:
-    """Persistent contact cache over P pair slots x 4 contact slots.
+    """Persistent contact cache in replicated body-major neighbor-slot form.
 
-    A slot is active when ``key != INACTIVE_KEY``; keys are kept sorted
-    ascending so cross-step matching is a vectorized ``searchsorted`` merge.
-    Rows are laid out 3 per contact (normal, tangent1, tangent2), i.e. row
-    ``c*3 .. c*3+2`` maps to manifold row base ``c*3`` of the reference
-    (manifold.cpp:66-69).
+    Bodies are laid out as (G, 128) groups (body n = group n//128, lane
+    n%128, N padded to G*128).  Each body owns D neighbor slots; slot
+    (d, g, lane) holds that body's view of the manifold with body
+    ``other[d, g, lane]`` (-1 = empty).  Every active pair therefore appears
+    TWICE — once per endpoint.  All slot data is stored in the *canonical*
+    pair frame (A = lower body index, B = higher), and both replicas compute
+    bit-identical updates (same operands, same instruction stream), so no
+    cross-replica synchronization is ever needed.  This removes all
+    gather/scatter/sort from the solver loop: a body's constraint rows are a
+    contiguous reduction over its own D slots.
 
-    Layout is component-major (TPU lane-friendly): the P axis is always
-    minor-most; contact-slot / vector-component / row axes lead.  The four
-    contacts of a manifold share one normal (collision.cpp:390, 413), so the
-    normal is stored per pair.
+    Why not a compacted pair list?  On TPU, scalar gathers are the enemy;
+    this layout costs 2x memory/compute on row math (cheap, elementwise)
+    and buys gather-free aggregation (the expensive part).
+
+    Contact-manifold semantics mirror the reference exactly: up to 4
+    contacts x 3 rows (normal, tangent1, tangent2), deterministic feature
+    ids, per-pair normal (manifold.cpp, collision.cpp).
     """
 
-    key: Any            # (P,) int32 = i * N + j, i < j, or INACTIVE_KEY
-    count: Any          # (P,) int32 number of valid contacts (0..4)
-    feature: Any        # (4, P) int32 deterministic feature ids
-    r_a: Any            # (4, 3, P) body-local contact point on body A
-    r_b: Any            # (4, 3, P) body-local contact point on body B
-    normal: Any         # (3, P) world contact normal, B -> A (unit)
-    stick: Any          # (4, P) bool static-friction latch
-    c0_n: Any           # (4, P) cached normal violation for alpha-stabilization
-    c0_t1: Any          # (4, P) cached tangential slip 1
-    c0_t2: Any          # (4, P) cached tangential slip 2
-    lam: Any            # (12, P) dual variables (3 rows per contact)
-    penalty: Any        # (12, P) penalty stiffness per row
+    other: Any          # (D, G, 128) int32 neighbor body index or -1
+    count: Any          # (D, G, 128) int32 contacts in manifold (0..4)
+    feature: Any        # (4, D, G, 128) int32 feature ids
+    r_a: Any            # (4, 3, D, G, 128) local anchor on canonical body A
+    r_b: Any            # (4, 3, D, G, 128) local anchor on canonical body B
+    normal: Any         # (3, D, G, 128) world contact normal, B -> A (unit)
+    stick: Any          # (4, D, G, 128) bool static-friction latch
+    c0_n: Any           # (4, D, G, 128) alpha-stabilization normal cache
+    c0_t1: Any          # (4, D, G, 128) tangential slip cache 1
+    c0_t2: Any          # (4, D, G, 128) tangential slip cache 2
+    lam: Any            # (12, D, G, 128) dual variables (3 rows per contact)
+    penalty: Any        # (12, D, G, 128) penalty stiffness per row
 
     @property
-    def p(self) -> int:
-        return self.key.shape[0]
+    def d(self) -> int:
+        return self.other.shape[0]
+
+    @property
+    def g(self) -> int:
+        return self.other.shape[1]
 
     def replace(self, **kw) -> "Contacts":
         return dataclasses.replace(self, **kw)
 
 
-def empty_contacts(max_pairs: int) -> Contacts:
-    p = max_pairs
+def empty_contacts(n_groups: int, degree: int) -> Contacts:
+    d, g = degree, n_groups
     return Contacts(
-        key=jnp.full((p,), INACTIVE_KEY, jnp.int32),
-        count=jnp.zeros((p,), jnp.int32),
-        feature=jnp.full((4, p), -1, jnp.int32),
-        r_a=jnp.zeros((4, 3, p), jnp.float32),
-        r_b=jnp.zeros((4, 3, p), jnp.float32),
-        normal=jnp.zeros((3, p), jnp.float32),
-        stick=jnp.zeros((4, p), bool),
-        c0_n=jnp.zeros((4, p), jnp.float32),
-        c0_t1=jnp.zeros((4, p), jnp.float32),
-        c0_t2=jnp.zeros((4, p), jnp.float32),
-        lam=jnp.zeros((12, p), jnp.float32),
-        penalty=jnp.zeros((12, p), jnp.float32),
+        other=jnp.full((d, g, 128), -1, jnp.int32),
+        count=jnp.zeros((d, g, 128), jnp.int32),
+        feature=jnp.full((4, d, g, 128), -1, jnp.int32),
+        r_a=jnp.zeros((4, 3, d, g, 128), jnp.float32),
+        r_b=jnp.zeros((4, 3, d, g, 128), jnp.float32),
+        normal=jnp.zeros((3, d, g, 128), jnp.float32),
+        stick=jnp.zeros((4, d, g, 128), bool),
+        c0_n=jnp.zeros((4, d, g, 128), jnp.float32),
+        c0_t1=jnp.zeros((4, d, g, 128), jnp.float32),
+        c0_t2=jnp.zeros((4, d, g, 128), jnp.float32),
+        lam=jnp.zeros((12, d, g, 128), jnp.float32),
+        penalty=jnp.zeros((12, d, g, 128), jnp.float32),
     )
 
 
@@ -259,11 +271,11 @@ class World:
     contacts: Contacts
     joints: Joints
     springs: Springs
-    # Sorted int32 keys (i * N + j) of body pairs whose collisions are
-    # suppressed — the TPU equivalent of isConstrainedTo() returning true for
-    # jointed/spring-linked/ignored pairs (rigid.cpp:61-69,
-    # ignorecollision.h:14-23).
-    exclusion_keys: Any
+    # (E, G, 128) int32: per-body list of partner indices whose collisions
+    # are suppressed (-1 = empty) — the TPU equivalent of isConstrainedTo()
+    # returning true for jointed/spring-linked/ignored pairs
+    # (rigid.cpp:61-69, ignorecollision.h:14-23).
+    exclusions: Any
     step_index: Any          # int32
     diagnostics: Diagnostics
 
