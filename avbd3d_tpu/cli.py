@@ -27,10 +27,10 @@ from .utils.cache import enable_compilation_cache
 
 
 def _dump_step(step_idx: int, world, n_real: int, out) -> None:
-    pos = np.asarray(world.bodies.pos[:n_real])
-    quat = np.asarray(world.bodies.quat[:n_real])
-    linvel = np.asarray(world.bodies.linvel[:n_real])
-    angvel = np.asarray(world.bodies.angvel[:n_real])
+    pos = np.asarray(world.bodies.pos_n3[:n_real])
+    quat = np.asarray(world.bodies.quat_n4[:n_real])
+    linvel = np.asarray(world.bodies.linvel_n3[:n_real])
+    angvel = np.asarray(world.bodies.angvel_n3[:n_real])
     out.write(f"Step {step_idx}:\n")
     # Reference body list is LIFO: newest body (highest id) prints first.
     for i in range(n_real - 1, -1, -1):

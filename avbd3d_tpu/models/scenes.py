@@ -126,15 +126,24 @@ class SceneBuilder:
         # Padding bodies can never pass the sphere test.
         radius[n_real:] = -1e9
 
+        n_g = n // 128
+
+        def cg(a):
+            """(n, k) -> (k, G, 128) component-major."""
+            return jnp.asarray(np.ascontiguousarray(a.T).reshape(a.shape[1], n_g, 128))
+
+        def gg(a):
+            return jnp.asarray(a.reshape(n_g, 128))
+
         bodies = Bodies(
-            pos=jnp.asarray(pos), quat=jnp.asarray(quat),
-            linvel=jnp.asarray(linvel), angvel=jnp.asarray(angvel),
-            prev_linvel=jnp.asarray(linvel), prev_angvel=jnp.asarray(angvel),
-            size=jnp.asarray(size), mass=jnp.asarray(mass),
-            inv_mass=jnp.asarray(inv_mass.astype(np.float32)),
-            inertia=jnp.asarray(inertia.astype(np.float32)),
-            inv_inertia=jnp.asarray(inv_inertia.astype(np.float32)),
-            friction=jnp.asarray(friction), radius=jnp.asarray(radius),
+            pos=cg(pos), quat=cg(quat),
+            linvel=cg(linvel), angvel=cg(angvel),
+            prev_linvel=cg(linvel), prev_angvel=cg(angvel),
+            size=cg(size), mass=gg(mass),
+            inv_mass=gg(inv_mass.astype(np.float32)),
+            inertia=cg(inertia.astype(np.float32)),
+            inv_inertia=cg(inv_inertia.astype(np.float32)),
+            friction=gg(friction), radius=gg(radius),
         )
 
         # --- joints ---
@@ -373,7 +382,7 @@ def scene_stress1000():
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    return sb.build(params, max_degree=40)
+    return sb.build(params, max_degree=32)
 
 
 def scene_rod():

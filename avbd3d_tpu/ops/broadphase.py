@@ -20,22 +20,35 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def neighbor_lists(pos, radius, exclusions, degree: int):
+def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
     """Per-body neighbor slots.
 
-    pos (N, 3), radius (N,) with N = G*128; exclusions (E, G, 128) partner
-    indices or -1.  Returns (neighbors (D, G, 128) int32 with -1 empty,
-    overflow count).
+    pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions
+    (E, G, 128) partner indices or -1.  Returns (neighbors (D, G, 128)
+    int32 with -1 empty, overflow count).
+
+    Static bodies get no slots: they are never position-solved
+    (solver.cpp:345-347), so a static-dynamic pair lives only in the
+    dynamic body's replica.  This matters for capacity — a ground slab
+    overlaps every body's bounding sphere.
     """
-    n = pos.shape[0]
-    g = n // 128
-    dp = pos[:, None, :] - pos[None, :, :]
-    d2 = jnp.sum(dp * dp, axis=-1)
+    g = radius_g.shape[0]
+    n = g * 128
+    px = pos_cg[0].reshape(n)
+    py = pos_cg[1].reshape(n)
+    pz = pos_cg[2].reshape(n)
+    radius = radius_g.reshape(n)
+    dynamic = dynamic_g.reshape(n)
+    d2 = (
+        (px[:, None] - px[None, :]) ** 2
+        + (py[:, None] - py[None, :]) ** 2
+        + (pz[:, None] - pz[None, :]) ** 2
+    )
     rsum = radius[:, None] + radius[None, :]
     ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
     # rsum > 0 rejects padding bodies (sentinel negative radius).
-    mask = (d2 <= rsum * rsum) & (rsum > 0.0) & (ii != jj)
+    mask = (d2 <= rsum * rsum) & (rsum > 0.0) & (ii != jj) & dynamic[:, None]
 
     row_count = jnp.sum(mask.astype(jnp.int32), axis=1)
     overflow = jnp.sum(jnp.maximum(row_count - degree, 0))

@@ -319,15 +319,27 @@ def _contact_basis(normal):
 # Iteration-loop row math
 # ---------------------------------------------------------------------------
 
-def eval_geometry(cache: Contacts, body_pose, consts, gather):
-    """Pose-dependent geometry per slot (manifold.cpp:184-196).
-
-    ``body_pose``: dict with 'pos' (3 comps) and 'quat' (4 comps), (G, 128).
-    """
+def geometry_static(cache: Contacts, consts):
+    """Loop-invariant geometry: contact basis (fixed per step once the
+    manifold normal is set, manifold.cpp:160-161), slot masks, canonical
+    side flags.  Hoisted out of the solver iterations."""
     idx = consts["idx"]
     valid = consts["valid"]
     g = body_iota(cache.other.shape[1])[None]
-    is_a = g < idx
+    return {
+        "basis": _contact_basis((cache.normal[0], cache.normal[1], cache.normal[2])),
+        "is_a": g < idx,
+        "slot_ok": [(jnp.int32(s) < cache.count) & valid for s in range(4)],
+    }
+
+
+def geometry_pose(cache: Contacts, static, body_pose, consts, gather):
+    """Pose-dependent geometry per slot (manifold.cpp:184-196): world lever
+    arms and raw separation/slips.  ``body_pose``: dict with 'pos' (3 comps)
+    and 'quat' (4 comps), (G, 128)."""
+    idx = consts["idx"]
+    is_a = static["is_a"]
+    n_unit, t1, t2 = static["basis"]
 
     own_pos = tuple(c[None] for c in body_pose["pos"])
     own_quat = tuple(c[None] for c in body_pose["quat"])
@@ -335,8 +347,6 @@ def eval_geometry(cache: Contacts, body_pose, consts, gather):
     oth_quat = gather_comps(body_pose["quat"], idx, gather)
     pa, pb = canonical_select(is_a, own_pos, oth_pos)
     qa, qb = canonical_select(is_a, own_quat, oth_quat)
-
-    n_unit, t1, t2 = _contact_basis((cache.normal[0], cache.normal[1], cache.normal[2]))
 
     rw_a, rw_b, sep, slip1, slip2 = [], [], [], [], []
     for s in range(4):
@@ -349,15 +359,20 @@ def eval_geometry(cache: Contacts, body_pose, consts, gather):
         slip1.append(cm.dot(delta, t1))
         slip2.append(cm.dot(delta, t2))
     return {
-        "basis": (n_unit, t1, t2),
+        "basis": static["basis"],
         "rw_a": rw_a,
         "rw_b": rw_b,
         "sep": sep,
         "slip1": slip1,
         "slip2": slip2,
         "is_a": is_a,
-        "slot_ok": [(jnp.int32(s) < cache.count) & valid for s in range(4)],
+        "slot_ok": static["slot_ok"],
     }
+
+
+def eval_geometry(cache: Contacts, body_pose, consts, gather):
+    """Full geometry evaluation (static + pose-dependent parts)."""
+    return geometry_pose(cache, geometry_static(cache, consts), body_pose, consts, gather)
 
 
 def eval_rows(geom, cache: Contacts, consts, lam, penalty, stick, alpha, params):

@@ -97,42 +97,36 @@ def _sym33(comps):
 
 
 def body_tables(b):
-    """Split body state into (G, 128) component tables for the replicated
-    core."""
-    n = b.n
-    g = n // 128
-
-    def r(x):
-        return x.reshape(g, 128)
-
-    half = b.size * 0.5
+    """Body state as (G, 128) component tables for the replicated core."""
     return {
-        "pos": tuple(r(b.pos[:, k]) for k in range(3)),
-        "quat": tuple(r(b.quat[:, k]) for k in range(4)),
-        "half": tuple(r(half[:, k]) for k in range(3)),
-        "inv_mass": r(b.inv_mass),
-        "friction": r(b.friction),
+        "pos": tuple(b.pos[k] for k in range(3)),
+        "quat": tuple(b.quat[k] for k in range(4)),
+        "half": tuple(b.size[k] * 0.5 for k in range(3)),
+        "inv_mass": b.inv_mass,
+        "friction": b.friction,
     }
 
 
 def predict(b, params):
     """Phase 3: inertial prediction (solver.cpp:299-337).
 
+    Operates in (N, 3) row views (the portable XLA path); the Pallas
+    backend runs an equivalent component-form prediction in-kernel.
     Returns (linvel, angvel, inertial_pos, inertial_quat, pos_start,
     quat_start, sanitized)."""
     n = b.n
     dt = params.dt
     gravity = jnp.asarray(params.gravity, jnp.float32)
     sanitized = jnp.int32(0)
-    dyn = b.dynamic
+    dyn = b.dynamic.reshape(b.n)
     dynf = dyn[:, None].astype(jnp.float32)
 
-    linvel, sanitized = _sanitize(b.linvel, 0.0, sanitized)
-    angvel = _clamp_angular(b.angvel, params.max_angular_speed)
+    linvel, sanitized = _sanitize(b.linvel_n3, 0.0, sanitized)
+    angvel = _clamp_angular(b.angvel_n3, params.max_angular_speed)
     angvel, sanitized = _sanitize(angvel, 0.0, sanitized)
 
-    pos0 = b.pos
-    quat0 = b.quat
+    pos0 = b.pos_n3
+    quat0 = b.quat_n4
 
     inertial_pos = jnp.where(dyn[:, None], pos0 + linvel * dt + gravity * dt * dt, pos0)
     omega_q = jnp.concatenate([angvel, jnp.zeros((n, 1))], axis=-1)
@@ -141,7 +135,7 @@ def predict(b, params):
 
     g_len = float(sum(x * x for x in params.gravity) ** 0.5)
     if g_len > 1e-5:
-        accel = (linvel - b.prev_linvel) / dt
+        accel = (linvel - b._n3(b.prev_linvel)) / dt
         projected = accel @ (gravity / g_len)
         accel_weight = jnp.clip(projected / g_len, 0.0, 1.0)
         accel_weight = jnp.where(jnp.isfinite(accel_weight), accel_weight, 0.0)
@@ -154,39 +148,42 @@ def predict(b, params):
 
 
 def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
-             linvel, angvel, lam_c, sep_slots, overflow, sanitized, params):
+             linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params):
     """Phases 5+6: velocity reconstruction + damping (solver.cpp:433-469)
     and diagnostics (solver.cpp:471-513).
 
     ``sep_slots``: (4, D, G, 128) raw contact separations at the final
-    poses (the backend's last geometry evaluation)."""
+    poses (the backend's last geometry evaluation).  ``once``: (D, G, 128)
+    mask selecting exactly one replica per pair for counting."""
     n = b.n
     g = n // 128
     dt = params.dt
     dyn = b.dynamic
-
+    dyn_n = dyn.reshape(n)
     new_linvel = (pos_f - pos0) / dt * params.linear_damping
     delta_q = quat_mul(quat_f, quat_conj(quat0))
     new_angvel = quat_vec_doubled(delta_q) / dt * params.angular_damping
-    new_linvel = jnp.where(dyn[:, None], new_linvel, b.linvel)
-    new_angvel = jnp.where(dyn[:, None], new_angvel, b.angvel)
+    new_linvel = jnp.where(dyn_n[:, None], new_linvel, b.linvel_n3)
+    new_angvel = jnp.where(dyn_n[:, None], new_angvel, b.angvel_n3)
     new_linvel, sanitized = _sanitize(new_linvel, 0.0, sanitized)
     new_angvel, sanitized = _sanitize(new_angvel, 0.0, sanitized)
 
-    lin_speed = jnp.linalg.norm(new_linvel, axis=-1) * dyn
-    ang_speed = jnp.linalg.norm(new_angvel, axis=-1) * dyn
+    lin_speed = jnp.linalg.norm(new_linvel, axis=-1) * dyn_n
+    ang_speed = jnp.linalg.norm(new_angvel, axis=-1) * dyn_n
+
+    def cg(a):
+        return jnp.moveaxis(a, 0, 1).reshape(a.shape[1], g, 128)
 
     bodies = b.replace(
-        pos=pos_f,
-        quat=quat_f,
-        linvel=new_linvel,
-        angvel=new_angvel,
-        prev_linvel=jnp.where(dyn[:, None], linvel, b.prev_linvel),
-        prev_angvel=jnp.where(dyn[:, None], angvel, b.prev_angvel),
+        pos=cg(pos_f),
+        quat=cg(quat_f),
+        linvel=cg(new_linvel),
+        angvel=cg(new_angvel),
+        prev_linvel=jnp.where(dyn[None], cg(linvel), b.prev_linvel),
+        prev_angvel=jnp.where(dyn[None], cg(angvel), b.prev_angvel),
     )
 
     valid = contacts.other >= 0
-    once = (rep.body_iota(g)[None] < contacts.other) & valid
     max_pen = jnp.float32(0.0)
     max_violation = jnp.float32(0.0)
     max_lam_n = jnp.float32(0.0)
@@ -210,7 +207,7 @@ def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         max_normal_impulse=max_lam_n,
         active_contacts=jnp.sum(jnp.where(once, contacts.count, 0)),
         active_manifolds=jnp.sum((once & (contacts.count > 0)).astype(jnp.int32)),
-        dynamic_bodies=jnp.sum(dyn.astype(jnp.int32)),
+        dynamic_bodies=jnp.sum(dyn_n.astype(jnp.int32)),
         pair_overflow=overflow,
         degree_overflow=jnp.int32(0),
         sanitized=sanitized,
@@ -259,7 +256,9 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     # ------------------------------------------------------------------
     # Phase 1: broadphase (solver.cpp:261-270)
     # ------------------------------------------------------------------
-    neighbors, overflow = neighbor_lists(b.pos, b.radius, world.exclusions, cap.max_degree)
+    neighbors, overflow = neighbor_lists(
+        b.pos, b.radius, b.dynamic, world.exclusions, cap.max_degree
+    )
 
     # ------------------------------------------------------------------
     # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
@@ -272,17 +271,17 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     # ------------------------------------------------------------------
     # Phase 3: inertial prediction (solver.cpp:299-337)
     # ------------------------------------------------------------------
-    dyn = b.dynamic
+    dyn = b.dynamic.reshape(n)
     dynf = dyn[:, None].astype(jnp.float32)
     linvel, angvel, inertial_pos, inertial_quat, pos_start, quat_start, sanitized = predict(b, params)
-    pos0 = b.pos
-    quat0 = b.quat
+    pos0 = b.pos_n3
+    quat0 = b.quat_n4
 
     # ------------------------------------------------------------------
     # Phase 4: iterative solve (solver.cpp:340-431)
     # ------------------------------------------------------------------
     inv_dt2 = 1.0 / (dt * dt)
-    mass = b.mass
+    mass = b.mass.reshape(n)
     has_joints = joints.incidence.shape[1] > 0
     has_springs = springs.incidence.shape[1] > 0
     eye = jnp.eye(3)
@@ -294,8 +293,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         }
 
     def assemble_and_solve(pos, quat, geom, f_rows, pen, jrs, f_j, pen_j, srs, f_s, pen_s):
-        iw = _world_inertia_components(quat, b.inertia)
-        iiw = _world_inertia_components(quat, b.inv_inertia)
+        iw = _world_inertia_components(quat, b._n3(b.inertia))
+        iiw = _world_inertia_components(quat, b._n3(b.inv_inertia))
         i_world = _sym33(iw)
 
         rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
@@ -435,9 +434,15 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     geom_f = rep.eval_geometry(contacts, pose_dict(pos_f, quat_f), consts, gather)
     sep_slots = jnp.stack(geom_f["sep"])
 
+    # Count each pair at one replica: the lower-index side, or the dynamic
+    # side when the partner is static (static bodies own no slots).
+    valid = consts["valid"]
+    other_dyn = gather(dyn.astype(jnp.float32).reshape(g, 128), consts["idx"]) > 0.5
+    once = valid & ((rep.body_iota(g)[None] < consts["idx"]) | ~other_dyn)
+
     return finalize(
         world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
-        linvel, angvel, lam_c, sep_slots, overflow, sanitized, params,
+        linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params,
     )
 
 

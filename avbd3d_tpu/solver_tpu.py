@@ -6,16 +6,18 @@ kernels is overhead-bound regardless of FLOPs.  This backend runs the same
 replicated body-major core (ops/replicated.py) inside two Mosaic kernels:
 
   Kernel A  narrowphase + cross-step match + warmstart init (phase 2)
-  Kernel B  the full iterative solve (phase 4): all iterations execute
-            inside one kernel with state resident in VMEM; the only
-            cross-body communication (neighbor pose fetch) uses the
-            G-way broadcast-select gather (rep.select_gather), which lowers
-            to lane-local take_along_axis — no XLA gather anywhere.
+  Kernel B  prediction, the full iterative solve, velocity update and
+            diagnostics (phases 3-6): everything executes inside one kernel
+            with state resident in VMEM.  The only cross-body communication
+            (neighbor pose fetch) uses the G-way broadcast-select gather
+            (rep.select_gather), which lowers to lane-local take_along_axis
+            — no XLA gather anywhere.
 
-Broadphase (top_k), prediction, velocity update and diagnostics remain in
-XLA (gather-free, cheap).  Restrictions: N <= 1024 bodies (G <= 8) and no
-joints/springs (scenes using them fall back to the XLA backend — see
-solver.step dispatch).
+Because Bodies/Contacts state is stored component-major (state.py), every
+kernel operand is a state leaf passed as-is: the XLA glue per step is just
+the broadphase and a handful of scalar extractions.  Restrictions: N <= 1024
+bodies (G <= 8) and no joints/springs (such scenes fall back to the XLA
+backend — see solver.step dispatch).
 """
 
 from __future__ import annotations
@@ -32,14 +34,12 @@ from . import cm
 from .config import Capacity, SolverParams
 from .maths import solve66_cm
 from .ops import replicated as rep
-from .state import Contacts, World
+from .state import Contacts, Diagnostics, World
 
-# Cache leaves in kernel order (bool leaves carried as float32 in-kernel).
 _CACHE_FIELDS = (
     "other", "count", "feature", "r_a", "r_b", "normal",
     "stick", "c0_n", "c0_t1", "c0_t2", "lam", "penalty",
 )
-_BODY_FIELDS = ("pos", "quat", "half", "inv_mass", "friction")
 
 
 def _cache_to_args(c: Contacts):
@@ -56,27 +56,41 @@ def _args_to_cache(args):
     return Contacts(**kw)
 
 
-def _body_args(tables):
-    out = []
-    for f in _BODY_FIELDS:
-        v = tables[f]
-        out.extend(v) if isinstance(v, tuple) else out.append(v)
-    return out
+def _read_cache(refs):
+    args = [r[:] for r in refs]
+    return _args_to_cache(args)
 
 
-def _read_body(refs):
-    it = iter(refs)
-    return {
-        "pos": tuple(next(it)[:] for _ in range(3)),
-        "quat": tuple(next(it)[:] for _ in range(4)),
-        "half": tuple(next(it)[:] for _ in range(3)),
-        "inv_mass": next(it)[:],
-        "friction": next(it)[:],
-    }
+def _q_normalize(q):
+    msq = q[0] ** 2 + q[1] ** 2 + q[2] ** 2 + q[3] ** 2
+    bad = msq < 1e-6
+    inv = jnp.where(bad, 0.0, 1.0 / jnp.sqrt(jnp.where(bad, 1.0, msq)))
+    return tuple(
+        jnp.where(bad, jnp.float32(k == 3), q[k] * inv) for k in range(4)
+    )
+
+
+def _san3(comps, fallback, count):
+    """Component-form sanitizeVec3 (solver.cpp:51-58) with a reset counter."""
+    finite = (
+        jnp.isfinite(comps[0]) & jnp.isfinite(comps[1]) & jnp.isfinite(comps[2])
+    )
+    out = tuple(jnp.where(finite, c, f) for c, f in zip(comps, fallback))
+    return out, count + jnp.sum((~finite).astype(jnp.float32))
+
+
+def _san4(comps, fallback, count):
+    finite = (
+        jnp.isfinite(comps[0]) & jnp.isfinite(comps[1])
+        & jnp.isfinite(comps[2]) & jnp.isfinite(comps[3])
+    )
+    out = tuple(jnp.where(finite, c, f) for c, f in zip(comps, fallback))
+    return out, count + jnp.sum((~finite).astype(jnp.float32))
 
 
 def _world_inertia_comps(quat, diag):
-    """(G,128)-component world inertia: I_w[i][j] = sum_k d_k ax_k[i] ax_k[j]."""
+    """(G,128)-component world inertia: I_w[i][j] = sum_k d_k ax_k[i] ax_k[j]
+    (rigid.cpp:51-59)."""
     axes = cm.q_axes(quat)
     comps = []
     for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)):
@@ -85,19 +99,22 @@ def _world_inertia_comps(quat, diag):
 
 
 # ---------------------------------------------------------------------------
-# Kernel A: narrowphase + match + init
+# Kernel A: narrowphase + match + init (phase 2)
 # ---------------------------------------------------------------------------
 
 def _make_kernel_a(params: SolverParams):
     def kernel(*refs):
-        n_in = len(_CACHE_FIELDS) + 1 + 12
-        in_refs = refs[:n_in]
-        out_refs = refs[n_in:]
-        old_args = [r[:] for r in in_refs[: len(_CACHE_FIELDS)]]
-        old = _args_to_cache(old_args)
-        neighbors = in_refs[len(_CACHE_FIELDS)][:]
-        body = _read_body(in_refs[len(_CACHE_FIELDS) + 1:])
-
+        old = _read_cache(refs[:12])
+        neighbors = refs[12][:]
+        pos_r, quat_r, size_r, invm_r, fric_r = refs[13:18]
+        body = {
+            "pos": tuple(pos_r[k] for k in range(3)),
+            "quat": tuple(quat_r[k] for k in range(4)),
+            "half": tuple(size_r[k] * 0.5 for k in range(3)),
+            "inv_mass": invm_r[:],
+            "friction": fric_r[:],
+        }
+        out_refs = refs[18:]
         new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
         for ref, val in zip(out_refs, _cache_to_args(new)):
             ref[:] = val
@@ -106,8 +123,8 @@ def _make_kernel_a(params: SolverParams):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def collide_and_init_tpu(old: Contacts, neighbors, tables, params: SolverParams) -> Contacts:
-    in_args = _cache_to_args(old) + [neighbors] + _body_args(tables)
+def collide_and_init_tpu(old: Contacts, neighbors, b, params: SolverParams) -> Contacts:
+    in_args = _cache_to_args(old) + [neighbors, b.pos, b.quat, b.size, b.inv_mass, b.friction]
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in _cache_to_args(old)]
     outs = pl.pallas_call(
         _make_kernel_a(params),
@@ -120,49 +137,118 @@ def collide_and_init_tpu(old: Contacts, neighbors, tables, params: SolverParams)
 
 
 # ---------------------------------------------------------------------------
-# Kernel B: the iterative solve
+# Kernel B: prediction + iterative solve + velocities + diagnostics
 # ---------------------------------------------------------------------------
 
-def _make_kernel_b(params: SolverParams, d: int, g: int):
+def _make_kernel_b(params: SolverParams):
     dt = params.dt
     inv_dt2 = 1.0 / (dt * dt)
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
     relax = params.relaxation
+    grav = params.gravity
+    g_len = float(sum(x * x for x in grav) ** 0.5)
+    ghat = tuple(x / g_len for x in grav) if g_len > 1e-5 else (0.0, 0.0, 0.0)
 
     def kernel(*refs):
-        # Inputs: cache(12) | body(13: pos3 quat4 half3 invm fric) |
-        #         start pose(7) | inertial pose(7) | mass | dynf |
-        #         inertia(3) | inv_inertia(3)
-        (other_r, count_r, feature_r, r_a_r, r_b_r, normal_r, stick_r,
-         c0n_r, c0t1_r, c0t2_r, lam_r, pen_r) = refs[:12]
-        body = _read_body(refs[12:24])
-        it25 = refs[24:]
-        start_pos = tuple(it25[k][:] for k in range(3))
-        start_quat = tuple(it25[3 + k][:] for k in range(4))
-        inertial_pos = tuple(it25[7 + k][:] for k in range(3))
-        inertial_quat = tuple(it25[10 + k][:] for k in range(4))
-        mass = it25[14][:]
-        dynf = it25[15][:]
-        inertia = tuple(it25[16 + k][:] for k in range(3))
-        inv_inertia = tuple(it25[19 + k][:] for k in range(3))
-        (pos_o0, pos_o1, pos_o2, quat_o0, quat_o1, quat_o2, quat_o3,
-         lam_o, pen_o, stick_o, sep_o) = refs[-11:]
+        cache = _read_cache(refs[:12])
+        (pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r, fric_r,
+         inertia_r, inv_inertia_r) = refs[12:22]
+        (pos_o, quat_o, lv_o, av_o, plv_o, pav_o, lam_o, pen_o, stick_o,
+         diag_o) = refs[-10:]
 
-        cache = Contacts(
-            other=other_r[:], count=count_r[:], feature=feature_r[:],
-            r_a=r_a_r[:], r_b=r_b_r[:], normal=normal_r[:],
-            stick=stick_r[:] > 0.5, c0_n=c0n_r[:], c0_t1=c0t1_r[:],
-            c0_t2=c0t2_r[:], lam=lam_r[:], penalty=pen_r[:],
-        )
+        pos0 = tuple(pos_r[k] for k in range(3))
+        quat0 = tuple(quat_r[k] for k in range(4))
+        mass = mass_r[:]
+        inv_mass = invm_r[:]
+        inertia = tuple(inertia_r[k] for k in range(3))
+        inv_inertia = tuple(inv_inertia_r[k] for k in range(3))
+        dyn = inv_mass > 0.0
+        dynf = dyn.astype(jnp.float32)
+        san = jnp.float32(0.0)
+
+        body = {
+            "pos": pos0,
+            "quat": quat0,
+            "inv_mass": inv_mass,
+            "friction": fric_r[:],
+        }
         consts = rep.pair_constants(cache.other, body, rep.select_gather)
 
+        # ---- phase 3: prediction (solver.cpp:299-337) ----
+        lv_in = tuple(lv_r[k] for k in range(3))
+        av_in = tuple(av_r[k] for k in range(3))
+        plv = tuple(plv_r[k] for k in range(3))
+        lv, san = _san3(lv_in, (0.0, 0.0, 0.0), san)
+        w_norm = jnp.sqrt(cm.length_sq(av_in))
+        w_scale = jnp.where(
+            w_norm > params.max_angular_speed,
+            params.max_angular_speed / jnp.maximum(w_norm, 1e-12),
+            1.0,
+        )
+        av = tuple(c * w_scale for c in av_in)
+        av, san = _san3(av, (0.0, 0.0, 0.0), san)
+
+        ip = tuple(
+            jnp.where(dyn, pos0[k] + lv[k] * dt + grav[k] * dt * dt, pos0[k])
+            for k in range(3)
+        )
+        omega = (av[0], av[1], av[2], jnp.zeros_like(av[0]))
+        oq = cm.q_mul(omega, quat0)
+        iq = _q_normalize(tuple(quat0[k] + oq[k] * (0.5 * dt) for k in range(4)))
+        iq = tuple(jnp.where(dyn, iq[k], quat0[k]) for k in range(4))
+
+        if g_len > 1e-5:
+            proj = sum((lv[k] - plv[k]) / dt * ghat[k] for k in range(3))
+            aw = jnp.clip(proj / g_len, 0.0, 1.0)
+            aw = jnp.where(jnp.isfinite(aw), aw, 0.0)
+        else:
+            aw = jnp.zeros_like(mass)
+        ps = tuple(
+            pos0[k] + (lv[k] * dt + grav[k] * (aw * dt * dt)) * dynf
+            for k in range(3)
+        )
+        ps, san = _san3(ps, pos0, san)
+        qs = iq
+
+        static = rep.geometry_static(cache, consts)
+
         def geom_at(pos, quat):
-            return rep.eval_geometry(
-                cache, {"pos": pos, "quat": quat}, consts, rep.select_gather
+            return rep.geometry_pose(
+                cache, static, {"pos": pos, "quat": quat}, consts, rep.select_gather
             )
 
+        def flat_geom(geom):
+            out = []
+            for s in range(4):
+                out.extend(geom["rw_a"][s])
+                out.extend(geom["rw_b"][s])
+            out.extend(geom["sep"])
+            out.extend(geom["slip1"])
+            out.extend(geom["slip2"])
+            return tuple(out)
+
+        def unflat_geom(t):
+            rw_a = [tuple(t[s * 6 + k] for k in range(3)) for s in range(4)]
+            rw_b = [tuple(t[s * 6 + 3 + k] for k in range(3)) for s in range(4)]
+            return {
+                "basis": static["basis"],
+                "rw_a": rw_a,
+                "rw_b": rw_b,
+                "sep": list(t[24:28]),
+                "slip1": list(t[28:32]),
+                "slip2": list(t[32:36]),
+                "is_a": static["is_a"],
+                "slot_ok": static["slot_ok"],
+            }
+
+        # ---- phase 4: the iterative solve (solver.cpp:340-431).  The
+        # geometry evaluated by the dual pass at the post-primal poses is
+        # carried into the next iteration's primal pass (one evaluation per
+        # iteration, like the reference's per-iteration computeConstraint).
         def one_iteration(it, carry):
-            px, py, pz, q0, q1, q2, q3, lam, pen, stick_f = carry
+            px, py, pz, q0, q1, q2, q3 = carry[:7]
+            geom = unflat_geom(carry[7:43])
+            lam, pen, stick_f = carry[43:]
             pos = (px, py, pz)
             quat = (q0, q1, q2, q3)
             stick = stick_f > 0.5
@@ -171,7 +257,6 @@ def _make_kernel_b(params: SolverParams, d: int, g: int):
             else:
                 alpha_cur = jnp.float32(params.alpha)
 
-            geom = geom_at(pos, quat)
             rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
             f = rep.primal_force(rows, pen)
 
@@ -179,22 +264,16 @@ def _make_kernel_b(params: SolverParams, d: int, g: int):
             iiw = _world_inertia_comps(quat, inv_inertia)
             sys = rep.body_system(geom, f, pen, iiw)
 
-            # rhs = M (x - x~)/dt^2 (+ I_w rot_err/dt^2) + constraint forces
             rhs_l = tuple(
-                mass * (pos[k] - inertial_pos[k]) * inv_dt2 + sys["F"][k]
-                for k in range(3)
+                mass * (pos[k] - ip[k]) * inv_dt2 + sys["F"][k] for k in range(3)
             )
-            q_err = cm.q_mul(quat, (-inertial_quat[0], -inertial_quat[1],
-                                    -inertial_quat[2], inertial_quat[3]))
+            q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
             sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
             rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
-            rhs_a = tuple(
-                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + sys["T"][0]
-                if k == 0 else
-                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + sys["T"][1]
-                if k == 1 else
-                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + sys["T"][2]
-                for k in range(3)
+            rhs_a = (
+                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + sys["T"][0],
+                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + sys["T"][1],
+                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + sys["T"][2],
             )
 
             m_dt2 = mass * inv_dt2
@@ -215,16 +294,8 @@ def _make_kernel_b(params: SolverParams, d: int, g: int):
             new_pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
             dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
                            jnp.zeros_like(da[0])), quat)
-            nq = tuple(quat[k] - 0.5 * dq[k] for k in range(4))
-            msq = nq[0] ** 2 + nq[1] ** 2 + nq[2] ** 2 + nq[3] ** 2
-            bad = msq < 1e-6
-            inv = jnp.where(bad, 0.0, 1.0 / jnp.sqrt(jnp.where(bad, 1.0, msq)))
-            nq = tuple(
-                jnp.where(dynf > 0.0,
-                          jnp.where(bad, jnp.float32(k == 3), nq[k] * inv),
-                          quat[k])
-                for k in range(4)
-            )
+            nq = _q_normalize(tuple(quat[k] - 0.5 * dq[k] for k in range(4)))
+            nq = tuple(jnp.where(dyn, nq[k], quat[k]) for k in range(4))
 
             geom2 = geom_at(new_pos, nq)
             rows2 = rep.eval_rows(
@@ -237,66 +308,123 @@ def _make_kernel_b(params: SolverParams, d: int, g: int):
             pen = jnp.where(do_dual, pen2, pen)
             stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
             return (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
-                    nq[3], lam, pen, stick.astype(jnp.float32))
+                    nq[3]) + flat_geom(geom2) + (lam, pen, stick.astype(jnp.float32))
 
+        geom0 = geom_at(ps, qs)
         carry = (
-            start_pos[0], start_pos[1], start_pos[2],
-            start_quat[0], start_quat[1], start_quat[2], start_quat[3],
+            ps[0], ps[1], ps[2], qs[0], qs[1], qs[2], qs[3],
+        ) + flat_geom(geom0) + (
             cache.lam, cache.penalty, cache.stick.astype(jnp.float32),
         )
         carry = lax.fori_loop(0, total_iters, one_iteration, carry)
-        px, py, pz, q0, q1, q2, q3, lam, pen, stick_f = carry
+        px, py, pz, q0, q1, q2, q3 = carry[:7]
+        geom_f = unflat_geom(carry[7:43])
+        lam, pen, stick_f = carry[43:]
+        pos_f = (px, py, pz)
+        quat_f = (q0, q1, q2, q3)
+        pos_f, san = _san3(pos_f, pos0, san)
+        quat_f, san = _san4(quat_f, quat0, san)
 
-        geom_f = geom_at((px, py, pz), (q0, q1, q2, q3))
-        sep_o[:] = jnp.stack(geom_f["sep"])
-        pos_o0[:] = px
-        pos_o1[:] = py
-        pos_o2[:] = pz
-        quat_o0[:] = q0
-        quat_o1[:] = q1
-        quat_o2[:] = q2
-        quat_o3[:] = q3
+        # ---- phase 5: velocity reconstruction + damping (solver.cpp:433-469)
+        nlv = tuple(
+            jnp.where(dyn, (pos_f[k] - pos0[k]) / dt * params.linear_damping, lv_in[k])
+            for k in range(3)
+        )
+        dqv = cm.q_mul(quat_f, (-quat0[0], -quat0[1], -quat0[2], quat0[3]))
+        vsgn = jnp.where(dqv[3] < 0.0, -2.0, 2.0)
+        nav = tuple(
+            jnp.where(dyn, dqv[k] * vsgn / dt * params.angular_damping, av_in[k])
+            for k in range(3)
+        )
+        nlv, san = _san3(nlv, (0.0, 0.0, 0.0), san)
+        nav, san = _san3(nav, (0.0, 0.0, 0.0), san)
+
+        # ---- phase 6: diagnostics (solver.cpp:471-513) ----
+        # geom_f is the loop's final geometry, evaluated at the final poses
+        # (the sanitize above only changes poses in pathological NaN cases).
+        other_dyn = rep.select_gather(dynf, consts["idx"]) > 0.5
+        iota = rep.body_iota(dynf.shape[0])[None]
+        once = consts["valid"] & ((iota < consts["idx"]) | ~other_dyn)
+
+        max_pen = jnp.float32(0.0)
+        max_drift = jnp.float32(0.0)
+        max_lam_n = jnp.float32(0.0)
+        for s in range(4):
+            ok = geom_f["slot_ok"][s]
+            sep = geom_f["sep"][s]
+            max_pen = jnp.maximum(max_pen, jnp.max(jnp.where(ok, -sep, 0.0)))
+            max_drift = jnp.maximum(
+                max_drift, jnp.max(jnp.where(ok, params.penetration_slop - sep, 0.0))
+            )
+            max_lam_n = jnp.maximum(
+                max_lam_n, jnp.max(jnp.where(ok, jnp.abs(lam[s * 3]), 0.0))
+            )
+        max_pen = jnp.maximum(max_pen, 0.0)
+        max_drift = jnp.maximum(max_drift, 0.0)
+
+        oncef = once.astype(jnp.float32)
+        n_contacts = jnp.sum(jnp.where(once, cache.count, 0).astype(jnp.float32))
+        n_manifolds = jnp.sum(oncef * (cache.count > 0).astype(jnp.float32))
+        n_dyn = jnp.sum(dynf)
+        max_lin = jnp.max(jnp.sqrt(cm.length_sq(nlv)) * dynf)
+        max_ang = jnp.max(jnp.sqrt(cm.length_sq(nav)) * dynf)
+
+        # ---- write outputs ----
+        pos_o[:] = jnp.stack(pos_f)
+        quat_o[:] = jnp.stack(quat_f)
+        lv_o[:] = jnp.stack(nlv)
+        av_o[:] = jnp.stack(nav)
+        plv_o[:] = jnp.stack(tuple(jnp.where(dyn, lv[k], plv[k]) for k in range(3)))
+        pav_o[:] = jnp.stack(tuple(jnp.where(dyn, av[k], av_in[k]) for k in range(3)))
         lam_o[:] = lam
         pen_o[:] = pen
         stick_o[:] = stick_f
+
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        diag_vals = (max_pen, max_drift, max_lin, max_ang, max_lam_n,
+                     n_contacts, n_manifolds, n_dyn, san)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for k, v in enumerate(diag_vals):
+            acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+        diag_o[:] = acc
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def solve_loop_tpu(contacts: Contacts, tables, start_pos, start_quat,
-                   inertial_pos, inertial_quat, mass_g, dynf_g,
-                   inertia_g, inv_inertia_g, params: SolverParams):
-    """Run the phase-4 loop in one kernel.  All body inputs are (G, 128)
-    component tuples.  Returns (pos comps, quat comps, lam, pen, stick)."""
+def solve_loop_tpu(contacts: Contacts, b, params: SolverParams):
+    """Phases 3-6 in one kernel.  Returns (bodies', lam, pen, stick, diag)."""
     d, g, _ = contacts.other.shape
-    in_args = (
-        _cache_to_args(contacts)
-        + _body_args(tables)
-        + list(start_pos) + list(start_quat)
-        + list(inertial_pos) + list(inertial_quat)
-        + [mass_g, dynf_g]
-        + list(inertia_g) + list(inv_inertia_g)
-    )
+    in_args = _cache_to_args(contacts) + [
+        b.pos, b.quat, b.linvel, b.angvel, b.prev_linvel,
+        b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia,
+    ]
     shp = jax.ShapeDtypeStruct
-    out_shape = (
-        [shp((g, 128), jnp.float32)] * 7
-        + [shp((12, d, g, 128), jnp.float32)] * 2
-        + [shp((4, d, g, 128), jnp.float32)] * 2
-    )
+    out_shape = [
+        shp((3, g, 128), jnp.float32),      # pos
+        shp((4, g, 128), jnp.float32),      # quat
+        shp((3, g, 128), jnp.float32),      # linvel
+        shp((3, g, 128), jnp.float32),      # angvel
+        shp((3, g, 128), jnp.float32),      # prev_linvel
+        shp((3, g, 128), jnp.float32),      # prev_angvel
+        shp((12, d, g, 128), jnp.float32),  # lam
+        shp((12, d, g, 128), jnp.float32),  # penalty
+        shp((4, d, g, 128), jnp.float32),   # stick
+        shp((8, 128), jnp.float32),         # diagnostics vector
+    ]
     outs = pl.pallas_call(
-        _make_kernel_b(params, d, g),
+        _make_kernel_b(params),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(in_args),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*in_args)
-    pos = tuple(outs[:3])
-    quat = tuple(outs[3:7])
-    lam, pen = outs[7], outs[8]
-    stick = outs[9] > 0.5
-    sep = outs[10]
-    return pos, quat, lam, pen, stick, sep
+    bodies = b.replace(
+        pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
+        prev_linvel=outs[4], prev_angvel=outs[5],
+    )
+    return bodies, outs[6], outs[7], outs[8] > 0.5, outs[9]
 
 
 # ---------------------------------------------------------------------------
@@ -304,45 +432,35 @@ def solve_loop_tpu(contacts: Contacts, tables, start_pos, start_quat,
 # ---------------------------------------------------------------------------
 
 def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
-    """Phases 1/3/5/6 in XLA (gather-free), phases 2/4 as mega-kernels."""
+    """Broadphase in XLA; phases 2-6 in two mega-kernels."""
     from .ops.broadphase import neighbor_lists
-    from .solver import body_tables, finalize, predict, _sanitize
 
     b = world.bodies
-    n = b.n
-    g = n // 128
-    tables = body_tables(b)
 
-    # Phase 1: broadphase
-    neighbors, overflow = neighbor_lists(b.pos, b.radius, world.exclusions, cap.max_degree)
-
-    # Phase 2: kernel A
-    contacts = collide_and_init_tpu(world.contacts, neighbors, tables, params)
-
-    # Phase 3: prediction
-    linvel, angvel, inertial_pos, inertial_quat, pos_start, quat_start, sanitized = predict(b, params)
-
-    def comps(x, k):
-        return tuple(x[:, i].reshape(g, 128) for i in range(k))
-
-    dynf_g = b.dynamic.astype(jnp.float32).reshape(g, 128)
-    pos_c, quat_c, lam, pen, stick, sep_slots = solve_loop_tpu(
-        contacts, tables,
-        comps(pos_start, 3), comps(quat_start, 4),
-        comps(inertial_pos, 3), comps(inertial_quat, 4),
-        b.mass.reshape(g, 128), dynf_g,
-        comps(b.inertia, 3), comps(b.inv_inertia, 3),
-        params,
+    neighbors, overflow = neighbor_lists(
+        b.pos, b.radius, b.dynamic, world.exclusions, cap.max_degree
     )
-    pos_f = jnp.stack([c.reshape(n) for c in pos_c], axis=-1)
-    quat_f = jnp.stack([c.reshape(n) for c in quat_c], axis=-1)
-    pos_f, sanitized = _sanitize(pos_f, b.pos, sanitized)
-    quat_f, sanitized = _sanitize(quat_f, b.quat, sanitized)
-
+    contacts = collide_and_init_tpu(world.contacts, neighbors, b, params)
+    bodies, lam, pen, stick, diag_v = solve_loop_tpu(contacts, b, params)
     contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
 
-    return finalize(
-        world, b, contacts, world.joints, world.springs, pos_f, quat_f,
-        b.pos, b.quat, linvel, angvel, lam, sep_slots, overflow, sanitized,
-        params,
+    dv = diag_v[0]
+    diag = Diagnostics(
+        max_penetration=dv[0],
+        max_constraint_violation=dv[1],
+        max_linear_speed=dv[2],
+        max_angular_speed=dv[3],
+        max_normal_impulse=dv[4],
+        active_contacts=dv[5].astype(jnp.int32),
+        active_manifolds=dv[6].astype(jnp.int32),
+        dynamic_bodies=dv[7].astype(jnp.int32),
+        pair_overflow=overflow,
+        degree_overflow=jnp.int32(0),
+        sanitized=dv[8].astype(jnp.int32),
+    )
+    return world.replace(
+        bodies=bodies,
+        contacts=contacts,
+        step_index=world.step_index + 1,
+        diagnostics=diag,
     )

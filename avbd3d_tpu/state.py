@@ -41,32 +41,63 @@ def _pytree(cls):
 @_pytree
 @dataclasses.dataclass(frozen=True)
 class Bodies:
-    """Per-body state, shape (N, ...).  Body i has reference id i + 1."""
+    """Per-body state in component-major (G, 128) lane groups.
+
+    Body n lives at group n // 128, lane n % 128; body i has reference id
+    i + 1.  Vector quantities are stored component-leading — pos[k] is the
+    (G, 128) array of the k-th coordinate — so state leaves feed the Pallas
+    kernels directly with zero repacking, and every XLA op runs on
+    full-lane tiles.  Use ``pos_n3``/``quat_n4``-style accessors for
+    row-vector views.
+    """
 
     # Dynamic state
-    pos: Any            # (N, 3)
-    quat: Any           # (N, 4) (x, y, z, w)
-    linvel: Any         # (N, 3)
-    angvel: Any         # (N, 3)
-    prev_linvel: Any    # (N, 3) — feeds the adaptive gravity weight
-    prev_angvel: Any    # (N, 3)
+    pos: Any            # (3, G, 128)
+    quat: Any           # (4, G, 128) (x, y, z, w)
+    linvel: Any         # (3, G, 128)
+    angvel: Any         # (3, G, 128)
+    prev_linvel: Any    # (3, G, 128) — feeds the adaptive gravity weight
+    prev_angvel: Any    # (3, G, 128)
     # Constant per-body parameters (kept in the pytree so a single World
     # fully describes the simulation)
-    size: Any           # (N, 3) box extents
-    mass: Any           # (N,)
-    inv_mass: Any       # (N,)  0 => static body
-    inertia: Any        # (N, 3) body-local diagonal box inertia
-    inv_inertia: Any    # (N, 3)
-    friction: Any       # (N,)
-    radius: Any         # (N,) bounding-sphere radius = |size| / 2
+    size: Any           # (3, G, 128) box extents
+    mass: Any           # (G, 128)
+    inv_mass: Any       # (G, 128)  0 => static body
+    inertia: Any        # (3, G, 128) body-local diagonal box inertia
+    inv_inertia: Any    # (3, G, 128)
+    friction: Any       # (G, 128)
+    radius: Any         # (G, 128) bounding-sphere radius = |size| / 2
 
     @property
     def n(self) -> int:
-        return self.pos.shape[0]
+        return self.mass.shape[0] * 128
+
+    @property
+    def g(self) -> int:
+        return self.mass.shape[0]
 
     @property
     def dynamic(self):
         return self.inv_mass > 0.0
+
+    def _n3(self, leaf):
+        return jnp.moveaxis(leaf.reshape(leaf.shape[0], -1), 0, 1)
+
+    @property
+    def pos_n3(self):
+        return self._n3(self.pos)
+
+    @property
+    def quat_n4(self):
+        return self._n3(self.quat)
+
+    @property
+    def linvel_n3(self):
+        return self._n3(self.linvel)
+
+    @property
+    def angvel_n3(self):
+        return self._n3(self.angvel)
 
     def replace(self, **kw) -> "Bodies":
         return dataclasses.replace(self, **kw)

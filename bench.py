@@ -32,7 +32,7 @@ BLOCK = 100
 def _sync(world) -> float:
     # block_until_ready alone has proven unreliable through the axon tunnel;
     # a host transfer is a hard sync.
-    return float(np.asarray(world.bodies.pos[0]).sum())
+    return float(np.asarray(world.bodies.pos).sum())
 
 
 def main() -> None:

@@ -29,13 +29,13 @@ def test_two_block_drop_settles_without_rebounce():
     assert int(d.active_contacts) == 8
     assert int(d.sanitized) == 0
     # Both cubes rest at ~0.51 (margin-lifted) on the ground.
-    ys = np.asarray(w.bodies.pos[1:3, 1])
+    ys = np.asarray(w.bodies.pos_n3[1:3, 1])
     assert np.all(np.abs(ys - 0.51) < 0.02)
 
 
 def test_stack_stays_stacked():
     scene, w, d = _run("Stack", 300)
-    ys = np.asarray(w.bodies.pos[1:11, 1])
+    ys = np.asarray(w.bodies.pos_n3[1:11, 1])
     expected = 0.51 + 1.01 * np.arange(10)
     assert np.all(np.abs(ys - expected) < 0.15), ys
     assert float(d.max_penetration) <= 0.005
@@ -59,7 +59,7 @@ def test_wall_is_stable_under_shear():
     assert float(d.max_penetration) <= 0.005
     assert float(d.max_linear_speed) < 0.2
     # No brick fell off: all heights within the built wall envelope.
-    ys = np.asarray(w.bodies.pos[1:65, 1])
+    ys = np.asarray(w.bodies.pos_n3[1:65, 1])
     assert ys.min() > 0.1 and ys.max() < 4.5
 
 
