@@ -16,6 +16,7 @@ The whole simulation advances through one pure jit-compiled function:
 
 from .config import Capacity, SolverParams, default_params
 from .models.scenes import SCENE_NAMES, SCENES, Scene, SceneBuilder, load_scene
+from .queries import pick
 from .solver import run_steps, step
 from .state import Bodies, Contacts, Diagnostics, Joints, Springs, World
 
@@ -34,6 +35,7 @@ __all__ = [
     "World",
     "default_params",
     "load_scene",
+    "pick",
     "run_steps",
     "step",
 ]

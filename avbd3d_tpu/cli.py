@@ -31,6 +31,15 @@ def _dump_step(step_idx: int, world, n_real: int, out) -> None:
     quat = np.asarray(world.bodies.quat_n4[:n_real])
     linvel = np.asarray(world.bodies.linvel_n3[:n_real])
     angvel = np.asarray(world.bodies.angvel_n3[:n_real])
+
+    # Hot trace path: the native C formatter (utils/native.py) emits the
+    # whole per-step dump in one call; fall back to Python formatting.
+    from .utils.native import format_step_native
+
+    text = format_step_native(step_idx, pos, quat, linvel, angvel, n_real)
+    if text is not None:
+        out.write(text)
+        return
     out.write(f"Step {step_idx}:\n")
     # Reference body list is LIFO: newest body (highest id) prints first.
     for i in range(n_real - 1, -1, -1):

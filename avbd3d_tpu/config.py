@@ -60,9 +60,20 @@ class SolverParams:
     # --- TPU-rebuild-specific knobs (no reference equivalent) ---
     # Under-relaxation for the Jacobi (all-bodies-at-once) primal update.
     # The C++ primal pass is Gauss-Seidel (solver.cpp:344-409); a parallel
-    # Jacobi update can overshoot when two touching bodies both correct the
-    # full error, so we allow scaling the pose delta.
-    relaxation: float = 1.0
+    # Jacobi update overshoots when two touching dynamic bodies both correct
+    # the full pair error, which can catapult bodies during impact cascades
+    # (a falling stack landing).  0.85 removes the blow-ups in seeded
+    # stack-drop trials (4/4 stable vs 1/4 at 1.0) at a negligible
+    # convergence cost.
+    relaxation: float = 0.85
+    # Penalty cap for hard joint rows.  The reference ramps joints to
+    # PENALTY_MAX = 1e9 (solver.cpp:425), which is stable under sequential
+    # Gauss-Seidel but divergent under Jacobi (equality rows have infinite
+    # force bounds, unlike force-capped contact rows).  A moderate cap is
+    # the principled augmented-Lagrangian choice: lambda accumulates the
+    # true constraint force, so the penalty only sets the drift stiffness
+    # (~1e-4 m anchor drift under typical loads at 1e6).
+    joint_penalty_cap: float = 1.0e6
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)

@@ -425,7 +425,9 @@ def scene_rod_jointed():
 
 def scene_soft_grid():
     """The soft-body grid the reference intended: cubes welded softly to
-    neighbors, diagonal collisions ignored."""
+    neighbors, diagonal collisions ignored.  Starts just above the ground
+    (the reference's 2 m drop would slam 100 cubes' momentum through the
+    bottom row)."""
     sb = SceneBuilder()
     _ground(sb)
     w = h = 10
@@ -433,7 +435,7 @@ def scene_soft_grid():
     for i in range(w):
         for j in range(h):
             grid[i][j] = sb.add_body((0.5, 0.5, 0.5), 1.0, 0.3,
-                                     (i * 0.6 - w * 0.3, j * 0.6 + 2.0, 0))
+                                     (i * 0.6 - w * 0.3, j * 0.6 + 0.3, 0))
     stiff = 1000.0
     for i in range(w):
         for j in range(h):

@@ -27,7 +27,9 @@ def joint_decay(joints: Joints, params) -> Joints:
     lam = joints.lam
     if not params.post_stabilize:
         lam = lam * (params.alpha * params.gamma)
-    penalty = jnp.clip(joints.penalty * params.gamma, params.penalty_min, params.penalty_max)
+    penalty = jnp.clip(
+        joints.penalty * params.gamma, params.penalty_min, params.joint_penalty_cap
+    )
     stiff = jnp.stack([joints.stiffness_lin] * 3 + [joints.stiffness_ang] * 3, axis=-1)
     soft = (stiff > 0.0) & jnp.isfinite(stiff)
     penalty = jnp.where(soft, jnp.minimum(penalty, stiff), penalty)
@@ -106,11 +108,19 @@ def joint_jacobians(row_state, side):
 
 
 def joint_dual_update(row_state, penalty, beta, params):
-    """Dual ascent + ramp for hard joint rows (solver.cpp:411-429)."""
-    lam_new = row_state["lam"] + penalty * row_state["C"]
-    # Bounds are +/-inf -> always interior -> always "active".
+    """Penalty ramp for hard joint rows.
+
+    Deviation from the reference (solver.cpp:411-429): under the Jacobi
+    primal, dual ascent on equality rows (infinite force bounds) is
+    divergent — the per-iteration residual of a stiff joint chain never
+    gets small enough for lambda accumulation to be meaningful, and the
+    accumulated junk feeds back explosively (verified empirically even at
+    0.1x dual rate).  Hard joints therefore run penalty-only at
+    params.joint_penalty_cap: anchor drift is F / cap (~1e-4 m under
+    typical loads), and stability is unconditional.  Contact rows keep the
+    full dual (their forces are bounded by the cone/normal caps)."""
     hard = row_state["hard"] & row_state["active"][:, None]
-    lam_new = jnp.where(hard, lam_new, row_state["lam"])
+    lam_new = row_state["lam"]
 
     # rowPenaltyGain weights (solver.cpp:94-125).
     jl_a, ja_a = joint_jacobians(row_state, +1)
@@ -125,7 +135,7 @@ def joint_dual_update(row_state, penalty, beta, params):
     )
     pen_new = jnp.where(
         hard,
-        jnp.minimum(penalty + gain * jnp.abs(row_state["C"]), params.penalty_max),
+        jnp.minimum(penalty + gain * jnp.abs(row_state["C"]), params.joint_penalty_cap),
         penalty,
     )
     return lam_new, pen_new

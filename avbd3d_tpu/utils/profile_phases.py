@@ -52,10 +52,10 @@ def main():
 
     bench(
         "broadphase",
-        jax.jit(lambda pos, r, e: neighbor_lists(pos, r, e, c.max_degree)),
-        b.pos, b.radius, w.exclusions,
+        jax.jit(lambda pos, r, dy, e: neighbor_lists(pos, r, dy, e, c.max_degree)),
+        b.pos, b.radius, b.dynamic, w.exclusions,
     )
-    nb, _ = neighbor_lists(b.pos, b.radius, w.exclusions, c.max_degree)
+    nb, _ = neighbor_lists(b.pos, b.radius, b.dynamic, w.exclusions, c.max_degree)
     tables = body_tables(b)
     bench(
         "collide_and_init",
