@@ -434,9 +434,12 @@ def scene_soft_grid():
     grid = [[0] * h for _ in range(w)]
     for i in range(w):
         for j in range(h):
-            grid[i][j] = sb.add_body((0.5, 0.5, 0.5), 1.0, 0.3,
+            # Density 2 keeps the contact force caps (5000 * massScale,
+            # manifold.cpp:199-204) above the worst-case joint tension so a
+            # folding sheet cannot punch through the ground.
+            grid[i][j] = sb.add_body((0.5, 0.5, 0.5), 2.0, 0.3,
                                      (i * 0.6 - w * 0.3, j * 0.6 + 0.3, 0))
-    stiff = 1000.0
+    stiff = 500.0
     for i in range(w):
         for j in range(h):
             if i > 0:

@@ -84,8 +84,9 @@ def test_soft_grid_stays_bounded():
     d = jax.device_get(w.diagnostics)
     assert int(d.sanitized) == 0
     pos = np.asarray(w.bodies.pos_n3[1 : scene.n_real])
-    assert np.all(np.abs(pos) < 20.0)
-    assert pos[:, 1].min() > -0.5
+    assert np.all(np.abs(pos) < 25.0)
+    # Nothing punches through the ground slab.
+    assert pos[:, 1].min() > -0.3
 
 
 def test_pick_hits_top_of_stack():
