@@ -155,32 +155,37 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather) -> Contacts
     count = jnp.where(valid, geom["count"], 0)
 
     # ---- pair match against the body's OWN old slots ----
+    # Pass 1: find each new slot's matching old-slot index (cheap compare
+    # loop).  Pass 2: fetch every cached field with ONE same-shape
+    # take_along_axis over the D axis per field (Mosaic-friendly), instead
+    # of a D x fields select chain.
     d_old = old.other.shape[0]
     found = jnp.zeros_like(valid)
-    o_feature = [jnp.full_like(neighbors, -1) for _ in range(4)]
-    o_count = jnp.zeros_like(neighbors)
-    o_stick = [jnp.zeros_like(valid) for _ in range(4)]
-    o_normal = [jnp.zeros_like(frames["pa"][0]) for _ in range(3)]
-    o_r_a = [[jnp.zeros_like(frames["pa"][0]) for _ in range(3)] for _ in range(4)]
-    o_r_b = [[jnp.zeros_like(frames["pa"][0]) for _ in range(3)] for _ in range(4)]
-    o_lam = [jnp.zeros_like(frames["pa"][0]) for _ in range(12)]
-    o_pen = [jnp.zeros_like(frames["pa"][0]) for _ in range(12)]
-
+    match_d = jnp.zeros_like(neighbors)
     for dp in range(d_old):
         hit = valid & (old.other[dp][None] == neighbors) & (old.count[dp][None] > 0) & ~found
         found = found | hit
-        o_count = jnp.where(hit, old.count[dp][None], o_count)
-        for s in range(4):
-            o_feature[s] = jnp.where(hit, old.feature[s, dp][None], o_feature[s])
-            o_stick[s] = cm.bwhere(hit, old.stick[s, dp][None], o_stick[s])
-            for k in range(3):
-                o_r_a[s][k] = jnp.where(hit, old.r_a[s, k, dp][None], o_r_a[s][k])
-                o_r_b[s][k] = jnp.where(hit, old.r_b[s, k, dp][None], o_r_b[s][k])
-        for r in range(12):
-            o_lam[r] = jnp.where(hit, old.lam[r, dp][None], o_lam[r])
-            o_pen[r] = jnp.where(hit, old.penalty[r, dp][None], o_pen[r])
-        for k in range(3):
-            o_normal[k] = jnp.where(hit, old.normal[k, dp][None], o_normal[k])
+        match_d = jnp.where(hit, dp, match_d)
+
+    # Field fetch by matched slot index.  (A D-axis take_along_axis would be
+    # ideal, but Mosaic only gathers within one 8-sublane vreg and only in
+    # 2D, which makes the chunked formulation op-count-equivalent to plain
+    # selects — so selects it is.)
+    def fetch(arr):
+        out = arr[0][None]
+        for dp in range(1, d_old):
+            out = jnp.where(match_d == dp, arr[dp][None], out)
+        return out
+
+    foundf = found
+    o_count = jnp.where(foundf, fetch(old.count), 0)
+    o_feature = [jnp.where(foundf, fetch(old.feature[s]), -1) for s in range(4)]
+    o_stick = [fetch(old.stick[s].astype(jnp.int32)) > 0 for s in range(4)]
+    o_normal = [fetch(old.normal[k]) for k in range(3)]
+    o_r_a = [[fetch(old.r_a[s, k]) for k in range(3)] for s in range(4)]
+    o_r_b = [[fetch(old.r_b[s, k]) for k in range(3)] for s in range(4)]
+    o_lam = [fetch(old.lam[r]) for r in range(12)]
+    o_pen = [fetch(old.penalty[r]) for r in range(12)]
 
     new_n_unit = cm.normalize_or(geom["normal"], _UP)
     old_n_unit = cm.normalize_or(tuple(o_normal), new_n_unit)
