@@ -66,14 +66,23 @@ class SolverParams:
     # stack-drop trials (4/4 stable vs 1/4 at 1.0) at a negligible
     # convergence cost.
     relaxation: float = 0.85
-    # Penalty cap for hard joint rows.  The reference ramps joints to
-    # PENALTY_MAX = 1e9 (solver.cpp:425), which is stable under sequential
-    # Gauss-Seidel but divergent under Jacobi (equality rows have infinite
-    # force bounds, unlike force-capped contact rows).  A moderate cap is
-    # the principled augmented-Lagrangian choice: lambda accumulates the
-    # true constraint force, so the penalty only sets the drift stiffness
-    # (~1e-4 m anchor drift under typical loads at 1e6).
-    joint_penalty_cap: float = 1.0e6
+    # Penalty cap for hard joint rows — PENALTY_MAX = 1e9, matching the
+    # reference (solver.cpp:425, solver.h:26-27).  In practice the cap
+    # never binds: the per-iteration ramp gain*|C| against the per-step
+    # gamma decay equilibrates far below it.
+    joint_penalty_cap: float = 1.0e9
+    # Rate on the hard-joint dual ascent (lambda += rate*penalty*C each
+    # iteration; the reference uses rate 1).  Default 0 = penalty-only.
+    # Measured behavior on a 14-link hard-weld chain (RodJointed): the
+    # REFERENCE ITSELF DIVERGES to NaN (its joints ship commented-out as
+    # "WIP"), and any rate > 0 diverges here too — on a swinging chain the
+    # primal never converges C within a step, so the ascent integrates
+    # unconverged residual and pumps energy.  Penalty-only is
+    # unconditionally stable with anchor drift ~8e-4 under dynamic load
+    # (vs inf for the reference).  Isolated joints (no chain) are stable
+    # under ascent and converge lambda to the exact constraint force, so
+    # the knob stays available.
+    joint_dual_rate: float = 0.0
 
     def replace(self, **kw) -> "SolverParams":
         return dataclasses.replace(self, **kw)
@@ -93,6 +102,9 @@ class Capacity:
     max_degree: int = 16       # max contact partners per body (D slots)
     joint_degree: int = 0      # max joints incident to one body
     spring_degree: int = 0     # max springs incident to one body
+    # Number of colors in the joint-graph coloring (1 = no joints; the
+    # primal pass runs one Gauss-Seidel sub-pass per color).
+    joint_colors: int = 1
     # 'auto': Pallas mega-kernels on TPU for contact-only scenes <= 1024
     # bodies, portable XLA otherwise.  'xla' / 'pallas' force a backend.
     backend: str = "auto"

@@ -172,6 +172,33 @@ class SceneBuilder:
             )
             inc, side = _incidence_np(ja, jb, n, j_deg)
             joints = joints.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
+        # Greedy-color the HARD-joint adjacency graph: hard-jointed
+        # neighbors never share a color, so per-color primal sub-passes are
+        # Gauss-Seidel across every stiff link (a rod chain is bipartite ->
+        # 2 colors), which converges stiff chains the way the reference's
+        # sequential body loop does.  Soft joints are ordinary forces and
+        # stay Jacobi — measured: GS ordering destabilizes the soft-welded
+        # SoftGrid sheet while being neutral-to-positive for hard chains.
+        colors = np.zeros(n, np.int32)
+        n_colors = 1
+        hard_joints = [
+            (a, b) for (a, b, _ra, _rb, _q, kl, ka) in self.joints
+            if not (np.isfinite(kl) and np.isfinite(ka))
+        ]
+        if hard_joints:
+            adj = [[] for _ in range(n)]
+            for (a, b) in hard_joints:
+                if a >= 0:
+                    adj[a].append(b)
+                    adj[b].append(a)
+            for body in range(n):
+                taken = {colors[o] for o in adj[body] if o < body}
+                c = 0
+                while c in taken:
+                    c += 1
+                colors[body] = c
+            n_colors = int(colors.max()) + 1
+            joints = joints.replace(color=jnp.asarray(colors))
 
         # --- springs ---
         n_s = len(self.springs)
@@ -226,6 +253,7 @@ class SceneBuilder:
             max_degree=max_degree,
             joint_degree=j_deg,
             spring_degree=s_deg,
+            joint_colors=n_colors,
         )
 
         world = World(

@@ -5,13 +5,19 @@ allocates a ``Manifold`` per overlapping pair (solver.cpp:261-270) and skips
 pairs already linked by any force via ``isConstrainedTo`` (rigid.cpp:61-69).
 
 TPU rebuild: one (N, N) masked tensor op, then a per-row ``top_k`` compacts
-each body's overlapping partners into D static neighbor slots (ascending
-index, deterministic).  The output feeds the replicated body-major contact
-cache directly — no global pair list, no sort, no scatter.  Exclusions
-(jointed / spring-linked / ignored pairs) are filtered against a per-body
-partner table, mirroring isConstrainedTo semantics.
+each body's overlapping partners into D static neighbor slots
+(nearest-first, deterministic).  The output feeds the replicated body-major
+contact cache directly — no global pair list, no sort, no scatter.
 
-Overflow (a body with more overlaps than D slots) is counted, never silent.
+Exclusions (jointed / spring-linked / ignored pairs — isConstrainedTo
+semantics) are applied to the (N, N) mask *before* slot selection, so a
+never-colliding partner can not consume one of the D neighbor slots, and
+the overflow count reflects only real candidate pairs.
+
+Overflow (a body with more overlaps than D slots) is handled symmetrically:
+if either endpoint of a dynamic-dynamic pair drops the pair, both replicas
+drop it — a one-sided contact force (Newton's-third-law violation) is
+impossible by construction.  Dropped slots are counted, never silent.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
 
     pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions
     (E, G, 128) partner indices or -1.  Returns (neighbors (D, G, 128)
-    int32 with -1 empty, overflow count).
+    int32 with -1 empty, overflow = dropped directed slots).
 
     Static bodies get no slots: they are never position-solved
     (solver.cpp:345-347), so a static-dynamic pair lives only in the
@@ -50,22 +56,35 @@ def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
     # rsum > 0 rejects padding bodies (sentinel negative radius).
     mask = (d2 <= rsum * rsum) & (rsum > 0.0) & (ii != jj) & dynamic[:, None]
 
-    row_count = jnp.sum(mask.astype(jnp.int32), axis=1)
-    overflow = jnp.sum(jnp.maximum(row_count - degree, 0))
+    # isConstrainedTo exclusions BEFORE slot selection (rigid.cpp:61-69):
+    # an excluded partner never occupies a neighbor slot.
+    excl = exclusions.reshape(exclusions.shape[0], n) if exclusions.shape[0] else None
+    if excl is not None:
+        for e in range(excl.shape[0]):
+            mask &= jj != excl[e][:, None]
 
-    # Keep the D *nearest* partners: when a body has more overlaps than
-    # slots, the dropped ones are the farthest (usually not yet touching),
-    # which also minimizes neighbor-set asymmetry between the two replicas
-    # of a pair.
+    candidate_slots = jnp.sum(mask.astype(jnp.int32))
+
+    # Keep the D *nearest* partners per body: when a body has more overlaps
+    # than slots, the dropped ones are the farthest (usually not yet
+    # touching).
     score = jnp.where(mask, -d2, -jnp.inf)
     vals, nb = lax.top_k(score, degree)             # (N, D) nearest-first
     valid = vals > -jnp.inf
+    nb_safe = jnp.where(valid, nb, 0)
+
+    # Symmetric drop: a dynamic-dynamic pair is kept only if BOTH endpoints
+    # kept it (one-sided contact forces inject momentum).  Build the exact
+    # directed keep matrix by scatter, then AND with its transpose.
+    kept = jnp.zeros((n, n), bool)
+    rows = lax.broadcasted_iota(jnp.int32, (n, degree), 0)
+    kept = kept.at[rows, nb].set(valid, mode="drop")
+    sym = kept & kept.T
+    partner_static = ~dynamic[nb_safe]
+    slot_sym = jnp.take_along_axis(sym, nb_safe, axis=1)
+    valid = valid & (slot_sym | partner_static)
     nb = jnp.where(valid, nb, -1)
 
-    nb = nb.T.reshape(degree, g, 128)
-    if exclusions.shape[0] > 0:
-        keep = jnp.ones_like(nb, bool)
-        for e in range(exclusions.shape[0]):
-            keep &= nb != exclusions[e][None]
-        nb = jnp.where(keep, nb, -1)
-    return nb, overflow
+    overflow = candidate_slots - jnp.sum(valid.astype(jnp.int32))
+
+    return nb.T.reshape(degree, g, 128), overflow

@@ -70,16 +70,17 @@ def joint_row_state(joints: Joints, pos, quat, lam):
         "rw_b": rw_b,
         "has_a": has_a,
         "lam": lam,
+        "motor": joints.motor,
         "active": joints.active,
     }
 
 
 def joint_primal_force(row_state, penalty):
-    """f = clamp(penalty*C + lambdaWarm, -inf, inf); soft rows drop lambda
-    (solver.cpp:379-381).  Bounds are infinite for weld joints
+    """f = clamp(penalty*C + lambdaWarm + motor, -inf, inf); soft rows drop
+    lambda (solver.cpp:379-381).  Bounds are infinite for weld joints
     (joint.cpp:102-105)."""
     lam_warm = jnp.where(row_state["hard"], row_state["lam"], 0.0)
-    f = penalty * row_state["C"] + lam_warm
+    f = penalty * row_state["C"] + lam_warm + row_state["motor"]
     return jnp.where(row_state["active"][:, None], f, 0.0)
 
 
@@ -108,19 +109,24 @@ def joint_jacobians(row_state, side):
 
 
 def joint_dual_update(row_state, penalty, beta, params):
-    """Penalty ramp for hard joint rows.
+    """Per-iteration dual ascent + penalty ramp for hard joint rows
+    (solver.cpp:411-429: lambda = clamp(penalty*C + lambda, fmin, fmax);
+    weld bounds are infinite so lambda += penalty*C, and the row is always
+    "active" so the penalty always ramps).
 
-    Deviation from the reference (solver.cpp:411-429): under the Jacobi
-    primal, dual ascent on equality rows (infinite force bounds) is
-    divergent — the per-iteration residual of a stiff joint chain never
-    gets small enough for lambda accumulation to be meaningful, and the
-    accumulated junk feeds back explosively (verified empirically even at
-    0.1x dual rate).  Hard joints therefore run penalty-only at
-    params.joint_penalty_cap: anchor drift is F / cap (~1e-4 m under
-    typical loads), and stability is unconditional.  Contact rows keep the
-    full dual (their forces are bounded by the cone/normal caps)."""
+    Stability note: this full-rate ascent is divergent under a pure-Jacobi
+    primal (the mid-iteration residual of a stiff chain alternates in sign
+    along the chain and accumulation feeds back explosively — measured
+    divergent even at 0.1x rate).  The solver therefore runs Gauss-Seidel
+    color sub-passes over the joint graph (see solver._step_impl), which
+    restores the reference's convergence structure; joint_dual_rate
+    additionally under-relaxes the ascent if needed (1.0 = reference)."""
     hard = row_state["hard"] & row_state["active"][:, None]
-    lam_new = row_state["lam"]
+    lam_new = jnp.where(
+        hard,
+        row_state["lam"] + params.joint_dual_rate * penalty * row_state["C"],
+        row_state["lam"],
+    )
 
     # rowPenaltyGain weights (solver.cpp:94-125).
     jl_a, ja_a = joint_jacobians(row_state, +1)

@@ -34,12 +34,9 @@ def replicate_world(world: World, batch: int) -> World:
 
 def shard_batch(worlds: World, mesh: Mesh, axis: str = "data") -> World:
     """Place the batch axis of every leaf across the mesh."""
-    sharding = NamedSharding(mesh, P(axis))
-
     def place(x):
         return jax.device_put(x, NamedSharding(mesh, P(axis, *(None,) * (x.ndim - 1))))
 
-    del sharding
     return jax.tree_util.tree_map(place, worlds)
 
 

@@ -234,6 +234,13 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         and world.bodies.n <= 1024
     )
     if cap.backend == "pallas":
+        if not supports_pallas:
+            raise ValueError(
+                "backend='pallas' forced on an unsupported scene "
+                f"(n={world.bodies.n}, joints={world.joints.j}, "
+                f"springs={world.springs.s}); the Pallas path covers "
+                "contact-only scenes with <= 1024 bodies"
+            )
         use_pallas = True
     elif cap.backend == "xla":
         use_pallas = False
@@ -374,21 +381,34 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
         # --- primal (solver.cpp:344-409); geometry was evaluated at these
         # exact poses at the end of the previous iteration ---
+        # Contacts are Jacobi (all bodies see the iteration-start snapshot);
+        # joints/springs are Gauss-Seidel across the colored joint graph:
+        # one sub-pass per color, each re-evaluating joint/spring rows at
+        # the newest poses, applied only to that color's bodies.  With no
+        # joints there is exactly one pass (pure Jacobi, zero overhead).
         crs = rep.eval_rows(geom, contacts, consts, lam_c, pen_c, stick, alpha_cur, params)
         f_c = rep.primal_force(crs, pen_c)
-        jrs = joint_row_state(joints, pos, quat, lam_j)
-        f_j = joint_primal_force(jrs, pen_j)
-        srs = spring_row_state(springs, pos, quat)
-        f_s = spring_primal_force(srs, springs.penalty)
-
-        dl, da = assemble_and_solve(
-            pos, quat, geom, f_c, pen_c, jrs, f_j, pen_j, srs, f_s, springs.penalty
-        )
         relax = params.relaxation
-        new_pos = pos - relax * dl * dynf
-        dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
-        new_quat = quat_normalize(quat - quat_mul(dq, quat) * 0.5)
-        new_quat = jnp.where(dyn[:, None], new_quat, quat)
+
+        n_colors = cap.joint_colors if (has_joints or has_springs) else 1
+        color_arr = joints.color
+        new_pos, new_quat = pos, quat
+        for c in range(n_colors):
+            jrs = joint_row_state(joints, new_pos, new_quat, lam_j)
+            f_j = joint_primal_force(jrs, pen_j)
+            srs = spring_row_state(springs, new_pos, new_quat)
+            f_s = spring_primal_force(srs, springs.penalty)
+
+            dl, da = assemble_and_solve(
+                new_pos, new_quat, geom, f_c, pen_c, jrs, f_j, pen_j,
+                srs, f_s, springs.penalty,
+            )
+            apply = dyn & (color_arr == c) if n_colors > 1 else dyn
+            cand_pos = new_pos - relax * dl
+            dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
+            cand_quat = quat_normalize(new_quat - quat_mul(dq, new_quat) * 0.5)
+            new_pos = jnp.where(apply[:, None], cand_pos, new_pos)
+            new_quat = jnp.where(apply[:, None], cand_quat, new_quat)
         new_pos, san = _sanitize(new_pos, pos, san)
         new_quat, san = _sanitize(new_quat, quat, san)
 

@@ -189,12 +189,18 @@ class Joints:
     rest_rel_quat: Any  # (J, 4) initial conj(qA) * qB
     stiffness_lin: Any  # (J,)
     stiffness_ang: Any  # (J,)
-    motor: Any          # (J,) stored for API parity; never nonzero upstream
+    motor: Any          # (J, 6) per-row motor force, added to the primal
+                        # force (solver.cpp:380); never nonzero upstream
     lam: Any            # (J, 6)
     penalty: Any        # (J, 6)
     active: Any         # (J,) bool
     incidence: Any      # (N, DJ) int32 joint index or -1
     inc_side: Any       # (N, DJ) int8 +1 if body is A, -1 if body is B
+    # (N,) int32 body color from greedy-coloring the joint adjacency graph.
+    # The primal pass solves colors sequentially (Gauss-Seidel across joint
+    # links, the reference's convergence structure, solver.cpp:344-409)
+    # while contacts stay Jacobi.  Bodies with no joints are color 0.
+    color: Any
 
     @property
     def j(self) -> int:
@@ -214,12 +220,13 @@ def empty_joints(n_bodies: int, max_joints: int = 0, degree: int = 0) -> Joints:
         rest_rel_quat=quat_identity((j,)),
         stiffness_lin=jnp.full((j,), jnp.inf, jnp.float32),
         stiffness_ang=jnp.full((j,), jnp.inf, jnp.float32),
-        motor=jnp.zeros((j,), jnp.float32),
+        motor=jnp.zeros((j, 6), jnp.float32),
         lam=jnp.zeros((j, 6), jnp.float32),
         penalty=jnp.full((j, 6), 2.0e4, jnp.float32),
         active=jnp.zeros((j,), bool),
         incidence=jnp.full((n_bodies, degree), -1, jnp.int32),
         inc_side=jnp.zeros((n_bodies, degree), jnp.int8),
+        color=jnp.zeros((n_bodies,), jnp.int32),
     )
 
 

@@ -71,9 +71,15 @@ def format_step_native(step_idx: int, pos, quat, linvel, angvel, n_real: int):
     quat, p_q = cptr(quat)
     linvel, p_l = cptr(linvel)
     angvel, p_a = cptr(angvel)
-    cap = 160 * (n_real + 1) + 64
-    buf = ctypes.create_string_buffer(cap)
-    n = lib.avbd_format_step(step_idx, p_p, p_q, p_l, p_a, n_real, buf, cap)
-    if n < 0:
-        return None
-    return buf.raw[:n].decode()
+    # A dump line is ~155-170 bytes for typical large-scene values (13 %.4f
+    # fields with signs and 2-digit integer parts); budget generously and
+    # retry with a doubled buffer rather than silently falling back to the
+    # slow Python formatter.
+    cap = 256 * (n_real + 1) + 64
+    for _ in range(3):
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.avbd_format_step(step_idx, p_p, p_q, p_l, p_a, n_real, buf, cap)
+        if n >= 0:
+            return buf.raw[:n].decode()
+        cap *= 2
+    return None

@@ -36,6 +36,30 @@ def test_weld_joint_chain_holds():
         assert np.linalg.norm(pa - pb) < 0.02, (k, pa, pb)
 
 
+def test_weld_drift_under_load():
+    # Steady-state anchor drift of a loaded hard weld: a heavy cube hanging
+    # from a static anchor by one weld.  Penalty-only hard joints bound the
+    # drift by F / penalty; assert it stays far below the collision slop.
+    # Behavioral bar: the REFERENCE diverges to NaN on hard-weld chains
+    # (tools/build_reference_oracle.sh builds ref_rod which demonstrates
+    # this; its joints ship commented out as "WIP", scenes.h:138-151), so
+    # any finite drift beats reference behavior.
+    sb = SceneBuilder()
+    a = sb.add_body((1, 1, 1), 0.0, 0.5, (0.0, 10.0, 0.0))
+    b = sb.add_body((1, 1, 1), 8.0, 0.5, (0.0, 9.0, 0.0))  # 8 kg -> F = 80 N
+    sb.add_joint(a, b, (0.0, -0.5, 0.0), (0.0, 0.5, 0.0))
+    w, p, c, _ = sb.build(SolverParams())
+    w = run_steps(w, p, c, 240)
+    d = jax.device_get(w.diagnostics)
+    assert int(d.sanitized) == 0
+    pa = _world_anchor(w, 0, (0.0, -0.5, 0.0))
+    pb = _world_anchor(w, 1, (0.0, 0.5, 0.0))
+    drift = np.linalg.norm(pa - pb)
+    assert drift < 2.0e-3, drift
+    # And the body is actually load-bearing (hangs, does not fall).
+    assert float(w.bodies.pos_n3[1, 1]) > 8.9
+
+
 def test_world_joint_pins_body():
     sb = SceneBuilder()
     b = sb.add_body((1, 1, 1), 1.0, 0.5, (0.0, 5.0, 0.0))

@@ -70,3 +70,51 @@ g++ -O2 -std=c++17 -I"$ORACLE_DIR" -I"$REF/source" -o "$ORACLE_DIR/ref_headless"
     "$REF"/source/solver.cpp "$REF"/source/collision.cpp "$REF"/source/manifold.cpp \
     "$REF"/source/rigid.cpp "$REF"/source/force.cpp "$REF"/source/joint.cpp "$REF"/source/spring.cpp
 echo "built $ORACLE_DIR/ref_headless"
+
+# --- jointed-rod oracle: what the reference does with hard welds ---------
+# (The reference ships joints commented-out as "WIP"; this driver wires the
+# 15-segment rod its scenes.h:138-151 describes.  Measured result: the
+# reference solver diverges to NaN on this scene — see PERF_NOTES.md.)
+cat > "$ORACLE_DIR/main_rod.cpp" <<'MAIN'
+#include "solver.h"
+#include "joint.h"
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+int main(int argc, char** argv) {
+    int steps = 300;
+    for (int i = 1; i < argc; ++i)
+        if (!strcmp(argv[i], "--steps") && i+1 < argc) steps = atoi(argv[++i]);
+    Solver* solver = new Solver();
+    solver->defaultParams();
+    Rigid* prev = nullptr;
+    Rigid* segs[15];
+    for (int i = 0; i < 15; ++i) {
+        Rigid* curr = new Rigid(solver, {0.25f, 1.0f, 0.25f}, i == 0 ? 0.0f : 1.0f,
+                                0.5f, {0, 10.0f - i, 0}, quat(), {0,0,0}, {0,0,0});
+        segs[i] = curr;
+        if (prev) new Joint(solver, prev, curr, {0, -0.5f, 0}, {0, 0.5f, 0});
+        prev = curr;
+    }
+    for (int s = 0; s < steps; ++s) {
+        solver->step();
+        if ((s+1) % 25 == 0) {
+            float maxDrift = 0;
+            for (int i = 0; i + 1 < 15; ++i) {
+                vec3 pa = segs[i]->position + rotate(segs[i]->orientation, vec3{0,-0.5f,0});
+                vec3 pb = segs[i+1]->position + rotate(segs[i+1]->orientation, vec3{0,0.5f,0});
+                float d = length(pa - pb);
+                if (d > maxDrift) maxDrift = d;
+            }
+            printf("ROD step %d tip_y %.4f maxDrift %.3e maxLin %.4f\n",
+                   s+1, segs[14]->position.y, maxDrift, solver->lastDiagnostics.maxLinearSpeed);
+        }
+    }
+    return 0;
+}
+MAIN
+g++ -O2 -std=c++17 -I"$ORACLE_DIR" -I"$REF/source" -o "$ORACLE_DIR/ref_rod" \
+    "$ORACLE_DIR/main_rod.cpp" \
+    "$REF"/source/solver.cpp "$REF"/source/collision.cpp "$REF"/source/manifold.cpp \
+    "$REF"/source/rigid.cpp "$REF"/source/force.cpp "$REF"/source/joint.cpp "$REF"/source/spring.cpp
+echo "built $ORACLE_DIR/ref_rod"
