@@ -71,6 +71,24 @@ class SolverParams:
     # never binds: the per-iteration ramp gain*|C| against the per-step
     # gamma decay equilibrates far below it.
     joint_penalty_cap: float = 1.0e9
+    # Newton-matrix refresh cadence: the 6x6 LHS (penalty JJ^T outer
+    # products + gyro regularizer, solver.cpp:384-397) is rebuilt every
+    # k-th solver iteration and reused in between (modified Newton).  The
+    # gradient (RHS) is always fresh, so the converged fixed point is
+    # unchanged — staleness only alters the convergence path.  1 =
+    # reference-exact per-iteration rebuild.
+    #
+    # Staleness is SPEED-GATED: during energetic impacts the penalty ramp
+    # outruns a stale Hessian and the under-estimated curvature can
+    # catapult bodies (measured: one Stress1000 landing at fixed k=5
+    # ejects a cube at terminal velocity; k=1 never does).  Steps whose
+    # max dynamic-body speed exceeds ``lhs_stale_speed_max`` therefore
+    # rebuild every iteration; the stale cadence applies only in the
+    # low-energy regime where it is measurably safe (2000-step settled
+    # runs at k in {4, 10}: maxPen 0, no ejections, rest noise equal to
+    # k=1).
+    lhs_rebuild_every: int = 4
+    lhs_stale_speed_max: float = 1.0
     # Rate on the hard-joint dual ascent (lambda += rate*penalty*C each
     # iteration; the reference uses rate 1).  Default 0 = penalty-only.
     # Measured behavior on a 14-link hard-weld chain (RodJointed): the

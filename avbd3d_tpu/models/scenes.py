@@ -410,7 +410,10 @@ def scene_stress1000():
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    return sb.build(params, max_degree=32)
+    # D=24: the settled pile's max broadphase degree is 19 (measured over
+    # 600 steps; active-manifold max is 9), so 24 slots leave headroom with
+    # zero overflow while costing 25% less than 32 in every (D, G, 128) op.
+    return sb.build(params, max_degree=24)
 
 
 def scene_rod():

@@ -459,14 +459,13 @@ def primal_force(rows, penalty):
     ]
 
 
-def body_system(geom, f_rows, penalty, iiw_own):
-    """Own-side force + 6x6 contributions, reduced over the D axis.
+def body_forces(geom, f_rows):
+    """Own-side generalized force, reduced over the D axis.
 
     Per slot, this body's Jacobians are J_lin = sign*b, J_ang =
     sign*(rw_own x b) with sign = +1 when the body is canonical A
-    (solver.cpp:375-398).  Quadratic terms drop the sign.  Returns per-body
-    (G, 128) component dict: F(3), T(3), m_ll(6), m_la(9), m_aa(6), gyro(3).
-    ``iiw_own``: 6 world inverse-inertia comps (G, 128) of the own body.
+    (solver.cpp:375-398).  Returns dict with F(3), T(3) per-body (G, 128)
+    components — the fresh (gradient) half of the Newton system.
     """
     n_unit, t1, t2 = geom["basis"]
     basis = (n_unit, t1, t2)
@@ -474,11 +473,6 @@ def body_system(geom, f_rows, penalty, iiw_own):
 
     F = [0.0] * 3
     T = [0.0] * 3
-    m_ll = [0.0] * 6
-    m_la = [0.0] * 9
-    m_aa = [0.0] * 6
-    gyro = [0.0] * 3
-
     for s in range(4):
         rw = cm.where(geom["is_a"], geom["rw_a"][s], geom["rw_b"][s])
         fs = (f_rows[s * 3], f_rows[s * 3 + 1], f_rows[s * 3 + 2])
@@ -490,7 +484,32 @@ def body_system(geom, f_rows, penalty, iiw_own):
         for k in range(3):
             F[k] = F[k] + sign * fv[k]
             T[k] = T[k] + sign * tv[k]
+    return {
+        "F": [jnp.sum(x, axis=0) for x in F],
+        "T": [jnp.sum(x, axis=0) for x in T],
+    }
 
+
+def body_matrix(geom, f_rows, penalty, iiw_own):
+    """Own-side 6x6 Hessian contributions, reduced over the D axis.
+
+    Quadratic terms drop the Jacobian sign (solver.cpp:384-397).  Returns
+    per-body (G, 128) components m_ll(6), m_la(9), m_aa(6), gyro(3);
+    ``iiw_own``: 6 world inverse-inertia comps (G, 128) of the own body.
+    The curvature half of the Newton system: the solver may reuse it for
+    several iterations (modified Newton — the fixed point is set by the
+    fresh gradient, staleness only changes the convergence path).
+    """
+    n_unit, t1, t2 = geom["basis"]
+    basis = (n_unit, t1, t2)
+
+    m_ll = [0.0] * 6
+    m_la = [0.0] * 9
+    m_aa = [0.0] * 6
+    gyro = [0.0] * 3
+
+    for s in range(4):
+        rw = cm.where(geom["is_a"], geom["rw_a"][s], geom["rw_b"][s])
         for r in range(3):
             b = basis[r]
             pe = penalty[s * 3 + r] * geom["slot_ok"][s]
@@ -521,14 +540,18 @@ def body_system(geom, f_rows, penalty, iiw_own):
             gyro[1] += jnp.abs(gcr[1]) * af
             gyro[2] += jnp.abs(gcr[2]) * af
 
-    # reduce over D (axis 0): per-body totals
-    out = {}
-    out["F"] = [jnp.sum(x, axis=0) for x in F]
-    out["T"] = [jnp.sum(x, axis=0) for x in T]
-    out["m_ll"] = [jnp.sum(x, axis=0) for x in m_ll]
-    out["m_la"] = [jnp.sum(x, axis=0) for x in m_la]
-    out["m_aa"] = [jnp.sum(x, axis=0) for x in m_aa]
-    out["gyro"] = [jnp.sum(x, axis=0) for x in gyro]
+    return {
+        "m_ll": [jnp.sum(x, axis=0) for x in m_ll],
+        "m_la": [jnp.sum(x, axis=0) for x in m_la],
+        "m_aa": [jnp.sum(x, axis=0) for x in m_aa],
+        "gyro": [jnp.sum(x, axis=0) for x in gyro],
+    }
+
+
+def body_system(geom, f_rows, penalty, iiw_own):
+    """Forces + matrix in one call (reference per-iteration behavior)."""
+    out = dict(body_forces(geom, f_rows))
+    out.update(body_matrix(geom, f_rows, penalty, iiw_own))
     return out
 
 

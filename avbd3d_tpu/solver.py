@@ -69,6 +69,15 @@ def _sanitize(x, default, count):
     return fixed, count + jnp.sum((~finite).astype(jnp.int32))
 
 
+def stale_lhs_ok(b, params) -> "jnp.ndarray":
+    """True when every dynamic body is slow enough for the stale-Hessian
+    cadence (config.lhs_rebuild_every).  Shared by both backends so the
+    XLA path and the Pallas path take the same branch on the same state."""
+    v2 = b.linvel[0] ** 2 + b.linvel[1] ** 2 + b.linvel[2] ** 2
+    v2 = jnp.max(jnp.where(b.dynamic, v2, 0.0))
+    return v2 <= params.lhs_stale_speed_max**2
+
+
 def _clamp_angular(w, max_speed):
     """80 rad/s hard clamp (solver.cpp:85-92)."""
     speed = jnp.linalg.norm(w, axis=-1, keepdims=True)
@@ -299,9 +308,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
             "quat": tuple(quat[:, k].reshape(g, 128) for k in range(4)),
         }
 
-    def assemble_and_solve(pos, quat, geom, f_rows, pen, jrs, f_j, pen_j, srs, f_s, pen_s):
+    def assemble_and_solve(pos, quat, geom, f_rows, cmat, jrs, f_j, pen_j, srs, f_s, pen_s):
         iw = _world_inertia_components(quat, b._n3(b.inertia))
-        iiw = _world_inertia_components(quat, b._n3(b.inv_inertia))
         i_world = _sym33(iw)
 
         rhs_l = mass[:, None] * (pos - inertial_pos) * inv_dt2
@@ -309,18 +317,17 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         rot_err = quat_vec_doubled(q_err)
         rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
 
-        iiw_g = [c.reshape(g, 128) for c in iiw]
-        sys = rep.body_system(geom, f_rows, pen, iiw_g)
+        forces = rep.body_forces(geom, f_rows)
 
         def flat(comps):
             return jnp.stack([c.reshape(n) for c in comps], axis=-1)
 
-        rhs_l += flat(sys["F"])
-        rhs_a += flat(sys["T"])
-        m_ll = _sym33([c.reshape(n) for c in sys["m_ll"]])
-        m_la = jnp.stack([c.reshape(n) for c in sys["m_la"]], axis=-1).reshape(n, 3, 3)
-        m_aa = _sym33([c.reshape(n) for c in sys["m_aa"]])
-        gyro = flat(sys["gyro"])
+        rhs_l += flat(forces["F"])
+        rhs_a += flat(forces["T"])
+        m_ll = _sym33([c.reshape(n) for c in cmat[:6]])
+        m_la = jnp.stack([c.reshape(n) for c in cmat[6:15]], axis=-1).reshape(n, 3, 3)
+        m_aa = _sym33([c.reshape(n) for c in cmat[15:21]])
+        gyro = flat(cmat[21:24])
 
         lhs_ll = m_ll + eye[None] * (mass * inv_dt2)[:, None, None]
         lhs_la = m_la
@@ -372,8 +379,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
-    def iteration(it, carry):
-        pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san = carry
+    def iteration(it, carry, rebuild):
+        pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san, cmat = carry
         if params.post_stabilize:
             alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
         else:
@@ -390,6 +397,15 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         f_c = rep.primal_force(crs, pen_c)
         relax = params.relaxation
 
+        # Contact Hessian: rebuilt on the block head, reused in between
+        # (joint/spring LHS parts below stay per-iteration fresh — they are
+        # small and re-evaluated per color sub-pass anyway).
+        if rebuild:
+            iiw = _world_inertia_components(quat, b._n3(b.inv_inertia))
+            iiw_g = [c.reshape(g, 128) for c in iiw]
+            m = rep.body_matrix(geom, f_c, pen_c, iiw_g)
+            cmat = tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+
         n_colors = cap.joint_colors if (has_joints or has_springs) else 1
         color_arr = joints.color
         new_pos, new_quat = pos, quat
@@ -400,7 +416,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
             f_s = spring_primal_force(srs, springs.penalty)
 
             dl, da = assemble_and_solve(
-                new_pos, new_quat, geom, f_c, pen_c, jrs, f_j, pen_j,
+                new_pos, new_quat, geom, f_c, cmat, jrs, f_j, pen_j,
                 srs, f_s, springs.penalty,
             )
             apply = dyn & (color_arr == c) if n_colors > 1 else dyn
@@ -429,9 +445,11 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
         lam_j = jnp.where(do_dual, lam_j2, lam_j)
         pen_j = jnp.where(do_dual, pen_j2, pen_j)
-        return new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j, san
+        return (new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j,
+                san, cmat)
 
     geom0 = rep.eval_geometry(contacts, pose_dict(pos_start, quat_start), consts, gather)
+    zmat = tuple(jnp.zeros((g, 128), jnp.float32) for _ in range(24))
     carry0 = (
         pos_start,
         quat_start,
@@ -442,10 +460,37 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         joints.lam,
         joints.penalty,
         sanitized,
+        zmat,
     )
-    pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized = lax.fori_loop(
-        0, total_iters, iteration, carry0
-    )
+    def phase4(k_re):
+        blocks, block_tail = divmod(total_iters, k_re)
+
+        def block_body(bi, c):
+            it0 = bi * k_re
+            for j in range(k_re):
+                c = iteration(it0 + j, c, rebuild=(j == 0))
+            return c
+
+        carry = carry0
+        if blocks > 0:
+            carry = lax.fori_loop(0, blocks, block_body, carry)
+        for j in range(block_tail):
+            carry = iteration(jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0))
+        return carry
+
+    k_re = max(1, params.lhs_rebuild_every)
+    if k_re > 1:
+        # Speed-gated staleness (see config.lhs_rebuild_every): energetic
+        # steps rebuild the Hessian every iteration.
+        carry = lax.cond(
+            stale_lhs_ok(b, params),
+            lambda _: phase4(k_re),
+            lambda _: phase4(1),
+            operand=None,
+        )
+    else:
+        carry = phase4(1)
+    pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized, _ = carry
 
     contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)
     joints = joints.replace(lam=lam_j, penalty=pen_j)

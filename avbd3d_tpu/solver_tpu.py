@@ -42,6 +42,14 @@ _CACHE_FIELDS = (
 )
 
 
+def _interpret_mode() -> bool:
+    """Run the kernels in Pallas interpret mode off-TPU.  Only used when a
+    pallas_call actually executes on a non-TPU backend (rare: the CPU test
+    path goes through the pure-math twins below, which compile ~40x faster
+    than interpret mode while exercising identical math)."""
+    return jax.default_backend() != "tpu"
+
+
 def _cache_to_args(c: Contacts):
     out = []
     for f in _CACHE_FIELDS:
@@ -103,10 +111,14 @@ def _world_inertia_comps(quat, diag):
 # ---------------------------------------------------------------------------
 
 def _make_kernel_a(params: SolverParams):
+    from .ops.broadphase import symmetric_filter
+
     def kernel(*refs):
         old = _read_cache(refs[:12])
-        neighbors = refs[12][:]
-        pos_r, quat_r, size_r, invm_r, fric_r = refs[13:18]
+        nb_raw = refs[12][:]
+        keys = refs[13][:]
+        thr = refs[14][:]
+        pos_r, quat_r, size_r, invm_r, fric_r = refs[15:20]
         body = {
             "pos": tuple(pos_r[k] for k in range(3)),
             "quat": tuple(quat_r[k] for k in range(4)),
@@ -114,33 +126,59 @@ def _make_kernel_a(params: SolverParams):
             "inv_mass": invm_r[:],
             "friction": fric_r[:],
         }
-        out_refs = refs[18:]
+        out_refs = refs[20:]
+        # Symmetric broadphase filter runs here (gathers are free in-kernel,
+        # ~7 ns/element in XLA — see ops/broadphase.py).
+        dynamic = body["inv_mass"] > 0.0
+        neighbors, kept = symmetric_filter(nb_raw, keys, thr, dynamic, rep.select_gather)
         new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
-        for ref, val in zip(out_refs, _cache_to_args(new)):
+        for ref, val in zip(out_refs[:-1], _cache_to_args(new)):
             ref[:] = val
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        out_refs[-1][:] = jnp.where(
+            (row == 0) & (lane == 0), kept.astype(jnp.float32), 0.0
+        )
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def collide_and_init_tpu(old: Contacts, neighbors, b, params: SolverParams) -> Contacts:
-    in_args = _cache_to_args(old) + [neighbors, b.pos, b.quat, b.size, b.inv_mass, b.friction]
+def collide_and_init_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
+    """Kernel A: symmetric broadphase filter + narrowphase + warmstart init.
+    Returns (contacts, kept directed-slot count)."""
+    in_args = _cache_to_args(old) + [nb_raw, keys, thr, b.pos, b.quat, b.size,
+                                     b.inv_mass, b.friction]
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in _cache_to_args(old)]
+    out_shapes.append(jax.ShapeDtypeStruct((8, 128), jnp.float32))
     outs = pl.pallas_call(
         _make_kernel_a(params),
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(in_args),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shapes),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
     )(*in_args)
-    return _args_to_cache(outs)
+    return _args_to_cache(outs[:-1]), outs[-1][0, 0].astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
 # Kernel B: prediction + iterative solve + velocities + diagnostics
 # ---------------------------------------------------------------------------
 
-def _make_kernel_b(params: SolverParams):
+def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
+                   av_r, plv_r, mass_r, invm_r, fric_r, inertia_r,
+                   inv_inertia_r, gather=rep.select_gather):
+    """Phases 3-6 as pure array math: the body of kernel B.
+
+    Called with VMEM-resident values inside the Pallas kernel (gather =
+    select_gather, the Mosaic-friendly strategy), and directly as ordinary
+    jitted XLA by ``solve_loop_math`` for CPU testing — same ops, same op
+    order, so the flagship backend's math is covered by the CPU suite.  The
+    CPU twin injects xla_gather instead: select_gather's take_along_axis
+    chains explode XLA:CPU compile time (>25 min vs 6 s), and gather-strategy
+    equivalence is unit-tested separately.  Returns the kernel's 10 outputs.
+    """
     dt = params.dt
     inv_dt2 = 1.0 / (dt * dt)
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
@@ -149,13 +187,7 @@ def _make_kernel_b(params: SolverParams):
     g_len = float(sum(x * x for x in grav) ** 0.5)
     ghat = tuple(x / g_len for x in grav) if g_len > 1e-5 else (0.0, 0.0, 0.0)
 
-    def kernel(*refs):
-        cache = _read_cache(refs[:12])
-        (pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r, fric_r,
-         inertia_r, inv_inertia_r) = refs[12:22]
-        (pos_o, quat_o, lv_o, av_o, plv_o, pav_o, lam_o, pen_o, stick_o,
-         diag_o) = refs[-10:]
-
+    if True:  # keep the original kernel-body indentation
         pos0 = tuple(pos_r[k] for k in range(3))
         quat0 = tuple(quat_r[k] for k in range(4))
         mass = mass_r[:]
@@ -172,7 +204,7 @@ def _make_kernel_b(params: SolverParams):
             "inv_mass": inv_mass,
             "friction": fric_r[:],
         }
-        consts = rep.pair_constants(cache.other, body, rep.select_gather)
+        consts = rep.pair_constants(cache.other, body, gather)
 
         # ---- phase 3: prediction (solver.cpp:299-337) ----
         lv_in = tuple(lv_r[k] for k in range(3))
@@ -214,7 +246,7 @@ def _make_kernel_b(params: SolverParams):
 
         def geom_at(pos, quat):
             return rep.geometry_pose(
-                cache, static, {"pos": pos, "quat": quat}, consts, rep.select_gather
+                cache, static, {"pos": pos, "quat": quat}, consts, gather
             )
 
         def flat_geom(geom):
@@ -245,10 +277,15 @@ def _make_kernel_b(params: SolverParams):
         # geometry evaluated by the dual pass at the post-primal poses is
         # carried into the next iteration's primal pass (one evaluation per
         # iteration, like the reference's per-iteration computeConstraint).
-        def one_iteration(it, carry):
+        # The 6x6 Hessian (penalty outer products + gyro) is rebuilt every
+        # params.lhs_rebuild_every iterations and carried in between
+        # (modified Newton; the gradient is always fresh so the converged
+        # fixed point is unchanged).
+        def one_iteration(it, carry, rebuild):
             px, py, pz, q0, q1, q2, q3 = carry[:7]
             geom = unflat_geom(carry[7:43])
-            lam, pen, stick_f = carry[43:]
+            lam, pen, stick_f = carry[43:46]
+            mat = list(carry[46:70])
             pos = (px, py, pz)
             quat = (q0, q1, q2, q3)
             stick = stick_f > 0.5
@@ -261,35 +298,39 @@ def _make_kernel_b(params: SolverParams):
             f = rep.primal_force(rows, pen)
 
             iw = _world_inertia_comps(quat, inertia)
-            iiw = _world_inertia_comps(quat, inv_inertia)
-            sys = rep.body_system(geom, f, pen, iiw)
+            if rebuild:
+                iiw = _world_inertia_comps(quat, inv_inertia)
+                m = rep.body_matrix(geom, f, pen, iiw)
+                mat = m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"]
+            m_ll, m_la, m_aa, gyro = mat[:6], mat[6:15], mat[15:21], mat[21:24]
+            forces = rep.body_forces(geom, f)
 
             rhs_l = tuple(
-                mass * (pos[k] - ip[k]) * inv_dt2 + sys["F"][k] for k in range(3)
+                mass * (pos[k] - ip[k]) * inv_dt2 + forces["F"][k] for k in range(3)
             )
             q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
             sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
             rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
             rhs_a = (
-                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + sys["T"][0],
-                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + sys["T"][1],
-                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + sys["T"][2],
+                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
+                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
+                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
             )
 
             m_dt2 = mass * inv_dt2
             a_ll = (
-                sys["m_ll"][0] + m_dt2, sys["m_ll"][1], sys["m_ll"][2],
-                sys["m_ll"][3] + m_dt2, sys["m_ll"][4], sys["m_ll"][5] + m_dt2,
+                m_ll[0] + m_dt2, m_ll[1], m_ll[2],
+                m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
             )
             a_aa = (
-                sys["m_aa"][0] + iw[0] * inv_dt2 + sys["gyro"][0],
-                sys["m_aa"][1] + iw[1] * inv_dt2,
-                sys["m_aa"][2] + iw[2] * inv_dt2,
-                sys["m_aa"][3] + iw[3] * inv_dt2 + sys["gyro"][1],
-                sys["m_aa"][4] + iw[4] * inv_dt2,
-                sys["m_aa"][5] + iw[5] * inv_dt2 + sys["gyro"][2],
+                m_aa[0] + iw[0] * inv_dt2 + gyro[0],
+                m_aa[1] + iw[1] * inv_dt2,
+                m_aa[2] + iw[2] * inv_dt2,
+                m_aa[3] + iw[3] * inv_dt2 + gyro[1],
+                m_aa[4] + iw[4] * inv_dt2,
+                m_aa[5] + iw[5] * inv_dt2 + gyro[2],
             )
-            dl, da = solve66_cm(a_ll, tuple(sys["m_la"]), a_aa, rhs_l, rhs_a)
+            dl, da = solve66_cm(a_ll, tuple(m_la), a_aa, rhs_l, rhs_a)
 
             new_pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
             dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
@@ -308,18 +349,35 @@ def _make_kernel_b(params: SolverParams):
             pen = jnp.where(do_dual, pen2, pen)
             stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
             return (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
-                    nq[3]) + flat_geom(geom2) + (lam, pen, stick.astype(jnp.float32))
+                    nq[3]) + flat_geom(geom2) + (
+                        lam, pen, stick.astype(jnp.float32)) + tuple(mat)
 
         geom0 = geom_at(ps, qs)
+        zmat = tuple(jnp.zeros_like(mass) for _ in range(24))
         carry = (
             ps[0], ps[1], ps[2], qs[0], qs[1], qs[2], qs[3],
         ) + flat_geom(geom0) + (
             cache.lam, cache.penalty, cache.stick.astype(jnp.float32),
-        )
-        carry = lax.fori_loop(0, total_iters, one_iteration, carry)
+        ) + zmat
+
+        k_re = max(1, params.lhs_rebuild_every)
+        blocks, block_tail = divmod(total_iters, k_re)
+
+        def block_body(bi, c):
+            it0 = bi * k_re
+            for j in range(k_re):
+                c = one_iteration(it0 + j, c, rebuild=(j == 0))
+            return c
+
+        if blocks > 0:
+            carry = lax.fori_loop(0, blocks, block_body, carry)
+        for j in range(block_tail):
+            carry = one_iteration(
+                jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0)
+            )
         px, py, pz, q0, q1, q2, q3 = carry[:7]
         geom_f = unflat_geom(carry[7:43])
-        lam, pen, stick_f = carry[43:]
+        lam, pen, stick_f = carry[43:46]
         pos_f = (px, py, pz)
         quat_f = (q0, q1, q2, q3)
         pos_f, san = _san3(pos_f, pos0, san)
@@ -342,7 +400,7 @@ def _make_kernel_b(params: SolverParams):
         # ---- phase 6: diagnostics (solver.cpp:471-513) ----
         # geom_f is the loop's final geometry, evaluated at the final poses
         # (the sanitize above only changes poses in pathological NaN cases).
-        other_dyn = rep.select_gather(dynf, consts["idx"]) > 0.5
+        other_dyn = gather(dynf, consts["idx"]) > 0.5
         iota = rep.body_iota(dynf.shape[0])[None]
         once = consts["valid"] & ((iota < consts["idx"]) | ~other_dyn)
 
@@ -369,17 +427,6 @@ def _make_kernel_b(params: SolverParams):
         max_lin = jnp.max(jnp.sqrt(cm.length_sq(nlv)) * dynf)
         max_ang = jnp.max(jnp.sqrt(cm.length_sq(nav)) * dynf)
 
-        # ---- write outputs ----
-        pos_o[:] = jnp.stack(pos_f)
-        quat_o[:] = jnp.stack(quat_f)
-        lv_o[:] = jnp.stack(nlv)
-        av_o[:] = jnp.stack(nav)
-        plv_o[:] = jnp.stack(tuple(jnp.where(dyn, lv[k], plv[k]) for k in range(3)))
-        pav_o[:] = jnp.stack(tuple(jnp.where(dyn, av[k], av_in[k]) for k in range(3)))
-        lam_o[:] = lam
-        pen_o[:] = pen
-        stick_o[:] = stick_f
-
         lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         diag_vals = (max_pen, max_drift, max_lin, max_ang, max_lam_n,
@@ -387,7 +434,28 @@ def _make_kernel_b(params: SolverParams):
         acc = jnp.zeros((8, 128), jnp.float32)
         for k, v in enumerate(diag_vals):
             acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
-        diag_o[:] = acc
+
+        return (
+            jnp.stack(pos_f),
+            jnp.stack(quat_f),
+            jnp.stack(nlv),
+            jnp.stack(nav),
+            jnp.stack(tuple(jnp.where(dyn, lv[k], plv[k]) for k in range(3))),
+            jnp.stack(tuple(jnp.where(dyn, av[k], av_in[k]) for k in range(3))),
+            lam,
+            pen,
+            stick_f,
+            acc,
+        )
+
+
+def _make_kernel_b(params: SolverParams):
+    def kernel(*refs):
+        cache = _read_cache(refs[:12])
+        body_arrs = [r[:] for r in refs[12:22]]
+        outs = _kernel_b_math(params, cache, *body_arrs)
+        for ref, val in zip(refs[-10:], outs):
+            ref[:] = val
 
     return kernel
 
@@ -419,7 +487,53 @@ def solve_loop_tpu(contacts: Contacts, b, params: SolverParams):
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(in_args),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
     )(*in_args)
+    bodies = b.replace(
+        pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
+        prev_linvel=outs[4], prev_angvel=outs[5],
+    )
+    return bodies, outs[6], outs[7], outs[8] > 0.5, outs[9]
+
+
+# ---------------------------------------------------------------------------
+# Pure-math twins: the identical kernel bodies as plain jitted XLA.
+#
+# These run the exact functions the Pallas kernels execute (same ops, same op
+# order) without pallas_call, so the flagship backend's math is testable on
+# CPU where Mosaic compilation is unavailable and interpret mode is
+# prohibitively slow to compile (~16 min for kernel B).  Off-TPU they swap
+# select_gather for xla_gather (same values — asserted by
+# tests/test_pallas_backend.py — but ~100x faster XLA:CPU compiles).
+# ---------------------------------------------------------------------------
+
+def _math_gather():
+    return rep.select_gather if jax.default_backend() == "tpu" else rep.xla_gather
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def collide_and_init_math(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
+    from .ops.broadphase import symmetric_filter
+
+    body = {
+        "pos": tuple(b.pos[k] for k in range(3)),
+        "quat": tuple(b.quat[k] for k in range(4)),
+        "half": tuple(b.size[k] * 0.5 for k in range(3)),
+        "inv_mass": b.inv_mass,
+        "friction": b.friction,
+    }
+    gather = _math_gather()
+    neighbors, kept = symmetric_filter(nb_raw, keys, thr, b.inv_mass > 0.0, gather)
+    return rep.collide_and_init(old, neighbors, body, params, gather), kept
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def solve_loop_math(contacts: Contacts, b, params: SolverParams):
+    outs = _kernel_b_math(
+        params, contacts, b.pos, b.quat, b.linvel, b.angvel, b.prev_linvel,
+        b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia,
+        gather=_math_gather(),
+    )
     bodies = b.replace(
         pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
         prev_linvel=outs[4], prev_angvel=outs[5],
@@ -432,16 +546,36 @@ def solve_loop_tpu(contacts: Contacts, b, params: SolverParams):
 # ---------------------------------------------------------------------------
 
 def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
-    """Broadphase in XLA; phases 2-6 in two mega-kernels."""
-    from .ops.broadphase import neighbor_lists
+    """Broadphase in XLA; phases 2-6 in two mega-kernels.
+
+    Off-TPU (CPU tests, forced ``backend='pallas'``) the identical math runs
+    through the pure-XLA twins instead of pallas_call — same functions, no
+    Mosaic."""
+    from .ops.broadphase import candidate_lists
 
     b = world.bodies
+    on_tpu = jax.default_backend() == "tpu"
+    kernel_a = collide_and_init_tpu if on_tpu else collide_and_init_math
+    kernel_b = solve_loop_tpu if on_tpu else solve_loop_math
 
-    neighbors, overflow = neighbor_lists(
+    nb_raw, keys, thr, candidate_slots = candidate_lists(
         b.pos, b.radius, b.dynamic, world.exclusions, cap.max_degree
     )
-    contacts = collide_and_init_tpu(world.contacts, neighbors, b, params)
-    bodies, lam, pen, stick, diag_v = solve_loop_tpu(contacts, b, params)
+    contacts, kept = kernel_a(world.contacts, nb_raw, keys, thr, b, params)
+    overflow = candidate_slots - kept
+    if params.lhs_rebuild_every > 1:
+        # Speed-gated Hessian staleness (config.lhs_rebuild_every):
+        # energetic steps take the fresh-LHS kernel variant.
+        from .solver import stale_lhs_ok
+
+        bodies, lam, pen, stick, diag_v = lax.cond(
+            stale_lhs_ok(b, params),
+            lambda c, bd: kernel_b(c, bd, params),
+            lambda c, bd: kernel_b(c, bd, params.replace(lhs_rebuild_every=1)),
+            contacts, b,
+        )
+    else:
+        bodies, lam, pen, stick, diag_v = kernel_b(contacts, b, params)
     contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
 
     dv = diag_v[0]
