@@ -89,6 +89,22 @@ class SolverParams:
     # k=1).
     lhs_rebuild_every: int = 4
     lhs_stale_speed_max: float = 1.0
+    # Broadphase candidate margin: sphere radii are enlarged by this much
+    # during candidate selection, and the lists are reused until any body
+    # has moved more than bp_margin/2 from the refresh anchor — an exact
+    # superset of truly-overlapping pairs at all times (see
+    # ops/broadphase.BroadphaseCache).  In a settled pile this amortizes
+    # the O(N^2)+top_k stage to ~nothing; 0 disables reuse.
+    bp_margin: float = 0.04
+    # Bodies ejected off the ground slab free-fall forever (the C++ does
+    # this too: its own Stress1000 landing throws 15 cubes off the slab,
+    # which then accelerate to terminal velocity for the rest of the run —
+    # measured via the reference oracle).  A body below this height is
+    # frozen in place with zeroed velocities: it can never interact again,
+    # and letting it fall forever would otherwise pin the max-speed /
+    # max-displacement gates above and disable every slow-regime
+    # optimization.  Set very negative to disable.
+    fall_freeze_y: float = -100.0
     # Rate on the hard-joint dual ascent (lambda += rate*penalty*C each
     # iteration; the reference uses rate 1).  Default 0 = penalty-only.
     # Measured behavior on a 14-link hard-weld chain (RodJointed): the

@@ -256,12 +256,15 @@ class SceneBuilder:
             joint_colors=n_colors,
         )
 
+        from ..ops.broadphase import empty_bp_cache
+
         world = World(
             bodies=bodies,
             contacts=empty_contacts(n_groups, max_degree),
             joints=joints,
             springs=springs,
             exclusions=jnp.asarray(excl),
+            bp=empty_bp_cache(n_groups, max_degree),
             step_index=jnp.int32(0),
             diagnostics=zero_diagnostics(),
         )

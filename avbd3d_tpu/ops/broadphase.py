@@ -8,7 +8,7 @@ TPU rebuild, in two stages:
 
 1. ``candidate_lists`` (XLA): one (N, N) masked tensor op + per-row
    ``top_k`` compacts each body's overlapping partners into D static
-   neighbor slots, nearest-first.  Distances are packed into strictly unique
+   neighbor slots, deepest-gap-first.  Distances are packed into strictly unique
    int32 keys ``quantized_d2 * N + partner`` so selection is exactly
    deterministic and stage 2 is pure integer compares.
 2. ``symmetric_filter``: a dynamic-dynamic pair is kept only if BOTH
@@ -35,6 +35,10 @@ body's bounding sphere.
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Any
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -42,7 +46,64 @@ INT32_MIN = jnp.int32(-(2**31) + 1)
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
-def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
+def _pytree(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree
+@dataclasses.dataclass(frozen=True)
+class BroadphaseCache:
+    """Candidate lists + the body positions they were computed at.
+
+    Candidate selection is run with the sphere radii enlarged by
+    ``params.bp_margin``; the lists then remain an exact superset of all
+    truly-overlapping pairs until some body has moved more than margin/2
+    from its anchor — so in slow regimes (a settled pile) the O(N^2) + top_k
+    stage amortizes to near zero while narrowphase always sees fresh
+    positions.  The whole bundle refreshes atomically, keeping the
+    symmetric-filter threshold test consistent."""
+
+    anchor: Any   # (3, G, 128) positions at last refresh
+    nb: Any       # (D, G, 128) int32 candidate partner (-1 empty)
+    key: Any      # (D, G, 128) int32 selection keys
+    thr: Any      # (G, 128) int32 largest key each body kept
+    cand: Any     # () int32 directed candidate-slot count at refresh
+
+    def replace(self, **kw) -> "BroadphaseCache":
+        return dataclasses.replace(self, **kw)
+
+
+def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
+    g = n_groups
+    return BroadphaseCache(
+        anchor=jnp.full((3, g, 128), 1.0e9, jnp.float32),  # forces refresh
+        nb=jnp.full((degree, g, 128), -1, jnp.int32),
+        key=jnp.zeros((degree, g, 128), jnp.int32),
+        thr=jnp.zeros((g, 128), jnp.int32),
+        cand=jnp.int32(0),
+    )
+
+
+def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
+                     exclusions, degree: int, margin: float) -> BroadphaseCache:
+    """Rebuild the candidate lists only when some body moved > margin/2
+    since the cached anchor (exactness argument in BroadphaseCache)."""
+    disp2 = sum((pos_cg[k] - bp.anchor[k]) ** 2 for k in range(3))
+    need = jnp.max(disp2) > (0.5 * margin) ** 2
+
+    def rebuild(_):
+        nb, key, thr, cand = candidate_lists(
+            pos_cg, radius_g, dynamic_g, exclusions, degree, margin
+        )
+        return BroadphaseCache(anchor=pos_cg, nb=nb, key=key, thr=thr, cand=cand)
+
+    return lax.cond(need, rebuild, lambda _: bp, operand=None)
+
+
+def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
+                    margin: float = 0.0):
     """Per-body candidate slots, nearest-first, as unique integer keys.
 
     pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions (E, G, 128)
@@ -65,11 +126,19 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
         + (py[:, None] - py[None, :]) ** 2
         + (pz[:, None] - pz[None, :]) ** 2
     )
-    rsum = radius[:, None] + radius[None, :]
+    rsum = radius[:, None] + radius[None, :] + margin
     ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # rsum > 0 rejects padding bodies (sentinel negative radius).
-    mask = (d2 <= rsum * rsum) & (rsum > 0.0) & (ii != jj) & dynamic[:, None]
+    # Rank candidates by SPHERE GAP (surface distance), not center
+    # distance: a huge static slab's center is "far" from every body even
+    # while touching it, and center-ranked eviction under a transient
+    # overflow would drop the ground contact first — bodies then tunnel
+    # through the floor (observed on Stress1000 landing cascades).  Gap
+    # ranking keeps the most-overlapping pairs, so capacity eviction can
+    # only ever drop the least-engaged margin candidates.
+    gap = jnp.sqrt(d2) - rsum
+    # rsum > margin rejects padding bodies (sentinel negative radius).
+    mask = (gap <= 0.0) & (rsum > margin) & (ii != jj) & dynamic[:, None]
 
     # isConstrainedTo exclusions BEFORE slot selection (rigid.cpp:61-69):
     # an excluded partner never occupies a neighbor slot.
@@ -80,19 +149,22 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
 
     candidate_slots = jnp.sum(mask.astype(jnp.int32))
 
-    # Pack (distance, partner) into one strictly-increasing int32 key:
-    # q in [0, q_max) quantizes d2 over the maximum possible overlap
-    # distance (selection-only resolution ~1e-6 of the range).  Unique keys
-    # make nearest-D selection and the symmetric threshold test exact
-    # integer logic with no float-tie ambiguity.
+    # Pack (gap, partner) into one strictly-increasing int32 key: q in
+    # [0, q_max) quantizes the gap over [-2*max_r, 0] (selection-only
+    # resolution ~1e-6 of the range).  Unique keys make deepest-first
+    # selection and the symmetric threshold test exact integer logic with
+    # no float-tie ambiguity.  The gap expression is bit-exact symmetric
+    # (d2 and rsum both are), so both endpoints quantize identically.
     q_max = (2**31 - 1) // n - 1
-    max_r = jnp.max(radius)
-    inv_range = jnp.where(max_r > 0.0, 1.0 / jnp.maximum(4.0 * max_r * max_r, 1e-12), 0.0)
-    q = jnp.clip((d2 * inv_range * q_max), 0.0, float(q_max)).astype(jnp.int32)
+    max_r = jnp.max(radius) + 0.5 * margin
+    gap_range = jnp.maximum(2.0 * max_r, 1e-6)
+    q = jnp.clip(
+        (gap + gap_range) * (q_max / gap_range), 0.0, float(q_max)
+    ).astype(jnp.int32)
     key = q * n + jj
 
     score = jnp.where(mask, -key, INT32_MIN)
-    vals, nb = lax.top_k(score, degree)            # (N, D) nearest-first
+    vals, nb = lax.top_k(score, degree)            # (N, D) deepest-first
     valid = vals > INT32_MIN
     nb = jnp.where(valid, nb, -1)
     key_slot = jnp.where(valid, -vals, 0)

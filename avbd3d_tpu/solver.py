@@ -44,7 +44,7 @@ from .maths import (
     solve66,
 )
 from .ops import replicated as rep
-from .ops.broadphase import neighbor_lists
+from .ops.broadphase import refresh_or_reuse, symmetric_filter
 from .ops.joints import (
     joint_decay,
     joint_dual_update,
@@ -234,6 +234,18 @@ def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
 
 @functools.partial(jax.jit, static_argnames=("params", "cap"))
 def step(world: World, params: SolverParams, cap: Capacity) -> World:
+    # Fall-freeze pre-pass (config.fall_freeze_y): bodies that fell off the
+    # world become static with zeroed velocities.  Applied before backend
+    # dispatch so both backends and all cached gates see the same state.
+    if params.fall_freeze_y > -1.0e8:
+        b = world.bodies
+        frozen = b.dynamic & (b.pos[1] < params.fall_freeze_y)
+        if True:  # traced; cheap no-op when nothing is frozen
+            world = world.replace(bodies=b.replace(
+                linvel=jnp.where(frozen[None], 0.0, b.linvel),
+                angvel=jnp.where(frozen[None], 0.0, b.angvel),
+                inv_mass=jnp.where(frozen, 0.0, b.inv_mass),
+            ))
     # Backend dispatch (trace-time static): the Pallas mega-kernel path
     # covers contact-only scenes with <= 1024 bodies on TPU; everything else
     # (joints/springs, big N, CPU) uses the portable XLA path.
@@ -270,11 +282,17 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     tables = body_tables(b)
 
     # ------------------------------------------------------------------
-    # Phase 1: broadphase (solver.cpp:261-270)
+    # Phase 1: broadphase (solver.cpp:261-270) — margin-enlarged candidate
+    # lists cached until some body moves > bp_margin/2, then the symmetric
+    # capacity filter (both stages in ops/broadphase.py).
     # ------------------------------------------------------------------
-    neighbors, overflow = neighbor_lists(
-        b.pos, b.radius, b.dynamic, world.exclusions, cap.max_degree
+    bp = refresh_or_reuse(
+        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
+        cap.max_degree, params.bp_margin,
     )
+    world = world.replace(bp=bp)
+    neighbors, kept = symmetric_filter(bp.nb, bp.key, bp.thr, b.dynamic, gather)
+    overflow = bp.cand - kept
 
     # ------------------------------------------------------------------
     # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
@@ -379,7 +397,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
-    def iteration(it, carry, rebuild):
+    def iteration(it, carry, rebuild, ramp_pen=True):
         pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san, cmat = carry
         if params.post_stabilize:
             alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
@@ -441,7 +459,13 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
         do_dual = it < params.iterations
         lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))
-        pen_c = jnp.where(do_dual, pen_c2, pen_c)
+        # Contact penalty ramps only when the Hessian rebuilds before its
+        # next use (augmented-Lagrangian cadence — see solver_tpu for the
+        # stability rationale; k=1 ramps every iteration, reference-exact).
+        # Joint/spring LHS parts are always fresh, so their ramp cadence is
+        # untouched.
+        if ramp_pen:
+            pen_c = jnp.where(do_dual, pen_c2, pen_c)
         stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
         lam_j = jnp.where(do_dual, lam_j2, lam_j)
         pen_j = jnp.where(do_dual, pen_j2, pen_j)
@@ -468,14 +492,16 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         def block_body(bi, c):
             it0 = bi * k_re
             for j in range(k_re):
-                c = iteration(it0 + j, c, rebuild=(j == 0))
+                c = iteration(it0 + j, c, rebuild=(j == 0),
+                              ramp_pen=(j == k_re - 1))
             return c
 
         carry = carry0
         if blocks > 0:
             carry = lax.fori_loop(0, blocks, block_body, carry)
         for j in range(block_tail):
-            carry = iteration(jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0))
+            carry = iteration(jnp.int32(blocks * k_re + j), carry,
+                              rebuild=(j == 0), ramp_pen=(j == block_tail - 1))
         return carry
 
     k_re = max(1, params.lhs_rebuild_every)

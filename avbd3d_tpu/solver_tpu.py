@@ -281,7 +281,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         # params.lhs_rebuild_every iterations and carried in between
         # (modified Newton; the gradient is always fresh so the converged
         # fixed point is unchanged).
-        def one_iteration(it, carry, rebuild):
+        def one_iteration(it, carry, rebuild, ramp_pen=True):
             px, py, pz, q0, q1, q2, q3 = carry[:7]
             geom = unflat_geom(carry[7:43])
             lam, pen, stick_f = carry[43:46]
@@ -346,7 +346,15 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
             do_dual = it < params.iterations
             lam = jnp.where(do_dual, lam2, jnp.stack(rows2["lam"]))
-            pen = jnp.where(do_dual, pen2, pen)
+            # Penalty ramps only when the Hessian will be rebuilt before its
+            # next use (classic augmented-Lagrangian cadence: inner Newton
+            # iterations on a FIXED penalty, ramp at block boundaries).
+            # Ramping mid-block while H is stale makes the gradient stiffer
+            # than the curvature and pumps bounce energy (a 10-cube stack
+            # never settles).  With lhs_rebuild_every=1 every iteration
+            # ramps — reference-exact (solver.cpp:411-429).
+            if ramp_pen:
+                pen = jnp.where(do_dual, pen2, pen)
             stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
             return (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
                     nq[3]) + flat_geom(geom2) + (
@@ -366,14 +374,16 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         def block_body(bi, c):
             it0 = bi * k_re
             for j in range(k_re):
-                c = one_iteration(it0 + j, c, rebuild=(j == 0))
+                c = one_iteration(it0 + j, c, rebuild=(j == 0),
+                                  ramp_pen=(j == k_re - 1))
             return c
 
         if blocks > 0:
             carry = lax.fori_loop(0, blocks, block_body, carry)
         for j in range(block_tail):
             carry = one_iteration(
-                jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0)
+                jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0),
+                ramp_pen=(j == block_tail - 1),
             )
         px, py, pz, q0, q1, q2, q3 = carry[:7]
         geom_f = unflat_geom(carry[7:43])
@@ -458,6 +468,93 @@ def _make_kernel_b(params: SolverParams):
             ref[:] = val
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Fused step kernel: symmetric filter + narrowphase + match + solve in ONE
+# pallas_call (saves a kernel launch plus a full HBM round-trip of the
+# ~6 MB contact cache between kernels A and B).
+# ---------------------------------------------------------------------------
+
+def _make_kernel_step(params: SolverParams):
+    from .ops.broadphase import symmetric_filter
+
+    def kernel(*refs):
+        old = _read_cache(refs[:12])
+        nb_raw = refs[12][:]
+        keys = refs[13][:]
+        thr = refs[14][:]
+        (pos_r, quat_r, size_r, lv_r, av_r, plv_r, mass_r, invm_r, fric_r,
+         inertia_r, inv_inertia_r) = [r[:] for r in refs[15:26]]
+        out_refs = refs[26:]
+
+        body = {
+            "pos": tuple(pos_r[k] for k in range(3)),
+            "quat": tuple(quat_r[k] for k in range(4)),
+            "half": tuple(size_r[k] * 0.5 for k in range(3)),
+            "inv_mass": invm_r,
+            "friction": fric_r,
+        }
+        neighbors, kept = symmetric_filter(
+            nb_raw, keys, thr, invm_r > 0.0, rep.select_gather
+        )
+        new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
+        outs = _kernel_b_math(
+            params, new, pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r,
+            fric_r, inertia_r, inv_inertia_r,
+        )
+        cache_out = _cache_to_args(new)
+        lam_i = _CACHE_FIELDS.index("lam")
+        pen_i = _CACHE_FIELDS.index("penalty")
+        stick_i = _CACHE_FIELDS.index("stick")
+        cache_out[lam_i] = outs[6]
+        cache_out[pen_i] = outs[7]
+        cache_out[stick_i] = outs[8]
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        diag = outs[9] + jnp.where(
+            (row == 0) & (lane == 9), kept.astype(jnp.float32), 0.0
+        )
+        for ref, val in zip(out_refs, cache_out + list(outs[:6]) + [diag]):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
+    """One fused kernel: phases 2-6.  Returns (contacts', bodies', diag, kept)."""
+    in_args = _cache_to_args(old) + [
+        nb_raw, keys, thr, b.pos, b.quat, b.size, b.linvel, b.angvel,
+        b.prev_linvel, b.mass, b.inv_mass, b.friction, b.inertia,
+        b.inv_inertia,
+    ]
+    shp = jax.ShapeDtypeStruct
+    g = old.other.shape[1]
+    out_shape = [shp(a.shape, a.dtype) for a in _cache_to_args(old)] + [
+        shp((3, g, 128), jnp.float32),      # pos
+        shp((4, g, 128), jnp.float32),      # quat
+        shp((3, g, 128), jnp.float32),      # linvel
+        shp((3, g, 128), jnp.float32),      # angvel
+        shp((3, g, 128), jnp.float32),      # prev_linvel
+        shp((3, g, 128), jnp.float32),      # prev_angvel
+        shp((8, 128), jnp.float32),         # diagnostics (+kept at lane 9)
+    ]
+    outs = pl.pallas_call(
+        _make_kernel_step(params),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(in_args),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(*in_args)
+    contacts = _args_to_cache(outs[:12])
+    bodies = b.replace(
+        pos=outs[12], quat=outs[13], linvel=outs[14], angvel=outs[15],
+        prev_linvel=outs[16], prev_angvel=outs[17],
+    )
+    diag = outs[18]
+    return contacts, bodies, diag, diag[0, 9].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -551,32 +648,42 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
     Off-TPU (CPU tests, forced ``backend='pallas'``) the identical math runs
     through the pure-XLA twins instead of pallas_call — same functions, no
     Mosaic."""
-    from .ops.broadphase import candidate_lists
+    from .ops.broadphase import refresh_or_reuse
+    from .solver import stale_lhs_ok
 
     b = world.bodies
     on_tpu = jax.default_backend() == "tpu"
-    kernel_a = collide_and_init_tpu if on_tpu else collide_and_init_math
-    kernel_b = solve_loop_tpu if on_tpu else solve_loop_math
 
-    nb_raw, keys, thr, candidate_slots = candidate_lists(
-        b.pos, b.radius, b.dynamic, world.exclusions, cap.max_degree
+    bp = refresh_or_reuse(
+        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
+        cap.max_degree, params.bp_margin,
     )
-    contacts, kept = kernel_a(world.contacts, nb_raw, keys, thr, b, params)
-    overflow = candidate_slots - kept
+    world = world.replace(bp=bp)
+
+    if on_tpu:
+        def run(par):
+            return step_kernel_tpu(world.contacts, bp.nb, bp.key, bp.thr, b, par)
+    else:
+        def run(par):
+            contacts, kept = collide_and_init_math(
+                world.contacts, bp.nb, bp.key, bp.thr, b, par
+            )
+            bodies, lam, pen, stick, diag_v = solve_loop_math(contacts, b, par)
+            contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
+            return contacts, bodies, diag_v, kept
+
     if params.lhs_rebuild_every > 1:
         # Speed-gated Hessian staleness (config.lhs_rebuild_every):
         # energetic steps take the fresh-LHS kernel variant.
-        from .solver import stale_lhs_ok
-
-        bodies, lam, pen, stick, diag_v = lax.cond(
+        contacts, bodies, diag_v, kept = lax.cond(
             stale_lhs_ok(b, params),
-            lambda c, bd: kernel_b(c, bd, params),
-            lambda c, bd: kernel_b(c, bd, params.replace(lhs_rebuild_every=1)),
-            contacts, b,
+            lambda _: run(params),
+            lambda _: run(params.replace(lhs_rebuild_every=1)),
+            operand=None,
         )
     else:
-        bodies, lam, pen, stick, diag_v = kernel_b(contacts, b, params)
-    contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
+        contacts, bodies, diag_v, kept = run(params)
+    overflow = bp.cand - kept
 
     dv = diag_v[0]
     diag = Diagnostics(

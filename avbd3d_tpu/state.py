@@ -314,6 +314,8 @@ class World:
     # returning true for jointed/spring-linked/ignored pairs
     # (rigid.cpp:61-69, ignorecollision.h:14-23).
     exclusions: Any
+    # Margin-enlarged candidate lists + refresh anchor (BroadphaseCache).
+    bp: Any
     step_index: Any          # int32
     diagnostics: Diagnostics
 

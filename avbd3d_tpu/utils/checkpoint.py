@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Capacity, SolverParams
+from ..ops.broadphase import BroadphaseCache
 from ..state import Bodies, Contacts, Diagnostics, Joints, Springs, World
 
 
@@ -34,6 +35,7 @@ def _load_dc(cls, prefix: str, data) -> object:
         sub = {
             "bodies": Bodies, "contacts": Contacts, "joints": Joints,
             "springs": Springs, "diagnostics": Diagnostics,
+            "bp": BroadphaseCache,
         }.get(f.name)
         if sub is not None:
             kw[f.name] = _load_dc(sub, f"{prefix}{f.name}.", data)

@@ -34,7 +34,7 @@ from avbd3d_tpu import load_scene, run_steps  # noqa: E402
 
 BASELINE_SETTLED = 19.9   # C++ single-thread, settled regime (BASELINE.md)
 BASELINE_FALLING = 44.1   # C++ single-thread, falling regime (BASELINE.md)
-BLOCK = 500
+BLOCK = 1000
 TRIALS = 5
 
 

@@ -35,10 +35,12 @@ cat > "$ORACLE_DIR/main_oracle.cpp" <<'MAIN'
 #include <chrono>
 int main(int argc, char** argv) {
     int steps = 300; const char* sceneName = "Stress1000"; int logEvery = 50;
+    int dumpSteps = 0;  // per-step full body dump for the first N steps
     for (int i = 1; i < argc; ++i) {
         if (!strcmp(argv[i], "--steps") && i+1 < argc) steps = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--scene") && i+1 < argc) sceneName = argv[++i];
         else if (!strcmp(argv[i], "--log-every") && i+1 < argc) logEvery = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--dump-steps") && i+1 < argc) dumpSteps = atoi(argv[++i]);
     }
     Solver* solver = new Solver();
     for (int i = 0; i < sceneCount; ++i)
@@ -46,6 +48,17 @@ int main(int argc, char** argv) {
     auto t0 = std::chrono::steady_clock::now();
     for (int s = 0; s < steps; ++s) {
         solver->step();
+        if (s < dumpSteps) {
+            const Solver::Diagnostics& d = solver->lastDiagnostics;
+            printf("TRACE %d pen %.6f viol %.6f lin %.4f ang %.4f\n",
+                   s+1, d.maxPenetration, d.maxConstraintViolation,
+                   d.maxLinearSpeed, d.maxAngularSpeed);
+            for (Rigid* b = solver->bodies; b; b = b->next)
+                printf("BODY %d %d %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n",
+                       s+1, b->id, b->position.x, b->position.y, b->position.z,
+                       b->orientation.x, b->orientation.y, b->orientation.z,
+                       b->orientation.w);
+        }
         if ((s+1) % logEvery == 0) {
             const Solver::Diagnostics& d = solver->lastDiagnostics;
             float miny = 1e9f; int below = 0;

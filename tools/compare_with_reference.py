@@ -8,7 +8,19 @@ penetration vs slop, contact-graph size), not bitwise — SURVEY.md section 7
 explains why bitwise equality is unattainable (iteration order, f32
 reassociation).
 
-Usage:  python tools/compare_with_reference.py [Scene ...]
+Two modes:
+
+- envelope (default): end-state diagnostics side by side per scene.
+- ``--trace``: additionally steps both engines in lockstep through the
+  early trajectory (first ~50 steps) and reports the per-step position RMS
+  between them — the engines track closely while dynamics are smooth, then
+  diverge at contact-chaos onset (Gauss-Seidel vs Jacobi iteration order;
+  bitwise equality is unattainable, SURVEY.md section 7).
+
+``--report FILE`` writes the full comparison as a checked-in markdown
+report.
+
+Usage:  python tools/compare_with_reference.py [--trace] [--report FILE] [Scene ...]
 """
 
 from __future__ import annotations
@@ -65,19 +77,99 @@ def run_ours(scene_name: str, steps: int):
     }
 
 
+def run_trace(scene_name: str, trace_steps: int = 50):
+    """Lockstep early-trajectory comparison.
+
+    Returns dict with per-step position RMS (ours vs oracle, over the real
+    bodies; our creation index i is the oracle's id i+1, rigid.cpp:10) and
+    both engines' per-step maxPen.
+    """
+    from avbd3d_tpu.solver import step
+
+    out = subprocess.run(
+        [ORACLE, "--scene", scene_name, "--steps", str(trace_steps),
+         "--dump-steps", str(trace_steps), "--log-every", str(trace_steps + 1)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    ref_pos: dict = {}
+    ref_pen: dict = {}
+    for line in out.splitlines():
+        t = line.split()
+        if t and t[0] == "BODY":
+            s, bid = int(t[1]), int(t[2])
+            ref_pos.setdefault(s, {})[bid] = [float(x) for x in t[3:6]]
+        elif t and t[0] == "TRACE":
+            ref_pen[int(t[1])] = float(t[3])
+
+    scene = load_scene(scene_name)
+    w, p, c = scene.world, scene.params, scene.cap
+    n = scene.n_real
+    rms, our_pen = [], []
+    for s in range(1, trace_steps + 1):
+        w = step(w, p, c)
+        ours = np.asarray(w.bodies.pos_n3)[:n]
+        ref = np.asarray([ref_pos[s][i + 1] for i in range(n)])
+        rms.append(float(np.sqrt(np.mean((ours - ref) ** 2))))
+        our_pen.append(float(jax.device_get(w.diagnostics).max_penetration))
+    return {
+        "rms": rms,
+        "our_pen": our_pen,
+        "ref_pen": [ref_pen.get(s, 0.0) for s in range(1, trace_steps + 1)],
+    }
+
+
 def main():
-    scenes = sys.argv[1:] or list(STEPS)
-    print(f"{'scene':14s} {'':7s} {'mf':>6s} {'ct':>6s} {'maxPen':>8s} "
-          f"{'maxLin':>8s} {'maxAng':>8s} {'miny':>8s} {'below':>6s}")
+    args = sys.argv[1:]
+    do_trace = "--trace" in args
+    report_path = None
+    if "--report" in args:
+        report_path = args[args.index("--report") + 1]
+        args.remove("--report")
+        args.remove(report_path)
+    if do_trace:
+        args.remove("--trace")
+    scenes = args or list(STEPS)
+
+    lines = []
+
+    def emit(s=""):
+        print(s)
+        lines.append(s)
+
+    emit("## Behavioral envelopes (end state)")
+    emit()
+    emit("| scene | engine | manifolds | contacts | maxPen | maxLin | maxAng | miny | below |")
+    emit("|---|---|---|---|---|---|---|---|---|")
     for s in scenes:
         steps = STEPS.get(s, 300)
         ref = run_oracle(s, steps)
         ours = run_ours(s, steps)
         for tag, row in (("C++", ref), ("tpu", ours)):
-            print(f"{s:14s} {tag:7s} {int(row['mf']):6d} {int(row['ct']):6d} "
-                  f"{row['maxPen']:8.4f} {row['maxLin']:8.2f} "
-                  f"{row['maxAng']:8.2f} {row['miny']:8.2f} {int(row['below']):6d}")
-        print()
+            emit(f"| {s} ({steps}) | {tag} | {int(row['mf'])} | {int(row['ct'])} "
+                 f"| {row['maxPen']:.4f} | {row['maxLin']:.2f} "
+                 f"| {row['maxAng']:.2f} | {row['miny']:.2f} | {int(row['below'])} |")
+
+    if do_trace:
+        emit()
+        emit("## Early-trajectory lockstep trace (position RMS, ours vs C++)")
+        emit()
+        emit("| scene | s=1 | s=5 | s=10 | s=20 | s=30 | s=50 | maxPen ours | maxPen C++ |")
+        emit("|---|---|---|---|---|---|---|---|---|")
+        for s in scenes:
+            if s == "Stress1000":
+                continue  # 40 s/step on the XLA/CPU path; envelope covers it
+            tr = run_trace(s, 50)
+            r = tr["rms"]
+            emit(f"| {s} | {r[0]:.2e} | {r[4]:.2e} | {r[9]:.2e} | {r[19]:.2e} "
+                 f"| {r[29]:.2e} | {r[49]:.2e} | {max(tr['our_pen']):.4f} "
+                 f"| {max(tr['ref_pen']):.4f} |")
+
+    if report_path:
+        with open(report_path, "w") as f:
+            f.write("# Parity report: avbd3d_tpu vs the C++ reference oracle\n\n")
+            f.write("Generated by `tools/compare_with_reference.py --trace "
+                    f"--report {report_path}`.\n\n")
+            f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
