@@ -170,8 +170,7 @@ class SceneBuilder:
                 stiffness_ang=jnp.asarray([j[6] for j in self.joints], jnp.float32),
                 active=jnp.ones((n_j,), bool),
             )
-            inc, side = _incidence_np(ja, jb, n, j_deg)
-            joints = joints.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
+            joints = joints.replace(**_replicate_joints_np(self.joints, n, j_deg))
         # Greedy-color the HARD-joint adjacency graph: hard-jointed
         # neighbors never share a color, so per-color primal sub-passes are
         # Gauss-Seidel across every stiff link (a rod chain is bipartite ->
@@ -198,7 +197,9 @@ class SceneBuilder:
                     c += 1
                 colors[body] = c
             n_colors = int(colors.max()) + 1
-            joints = joints.replace(color=jnp.asarray(colors))
+            joints = joints.replace(
+                color=jnp.asarray(colors.reshape(n // 128, 128))
+            )
 
         # --- springs ---
         n_s = len(self.springs)
@@ -223,8 +224,7 @@ class SceneBuilder:
                 stiffness=jnp.asarray([s[5] for s in self.springs], jnp.float32),
                 active=jnp.ones((n_s,), bool),
             )
-            inc, side = _incidence_np(sa, sb, n, s_deg)
-            springs = springs.replace(incidence=jnp.asarray(inc), inc_side=jnp.asarray(side))
+            springs = springs.replace(**_replicate_springs_np(self.springs, n, s_deg))
 
         # --- exclusions: any constrained pair never collides
         # (rigid.cpp:61-69 via broadphase check, solver.cpp:266).  Stored as
@@ -271,18 +271,88 @@ class SceneBuilder:
         return world, params, cap, n_real
 
 
-def _incidence_np(a_idx, b_idx, n, degree):
-    inc = np.full((n, degree), -1, np.int32)
-    side = np.zeros((n, degree), np.int8)
+def _replicate_joints_np(joint_list, n, degree):
+    """Scatter the dense joint list into the replicated (DJ, G, 128) slot
+    form (state.Joints): one slot per endpoint body per incident joint.
+    Topology is static, so this runs once at build time in numpy."""
+    g = n // 128
+    shp = (degree, g, 128)
+    other = np.full(shp, -1, np.int32)
+    world = np.zeros(shp, np.int32)
+    side = np.ones(shp, np.int32)
+    anchor_a = np.zeros((3,) + shp, np.float32)
+    anchor_b = np.zeros((3,) + shp, np.float32)
+    rest = np.zeros((4,) + shp, np.float32)
+    rest[3] = 1.0
+    stiff_lin = np.full(shp, np.inf, np.float32)
+    stiff_ang = np.full(shp, np.inf, np.float32)
     fill = np.zeros(n, np.int32)
-    for k in range(len(a_idx)):
-        for body, s in ((a_idx[k], 1), (b_idx[k], -1)):
-            if body < 0:
-                continue
-            inc[body, fill[body]] = k
-            side[body, fill[body]] = s
-            fill[body] += 1
-    return inc, side
+
+    def put(body, partner, is_world, s, ra, rb, rq, kl, ka):
+        d = fill[body]
+        gi, li = body // 128, body % 128
+        other[d, gi, li] = partner
+        world[d, gi, li] = 1 if is_world else 0
+        side[d, gi, li] = s
+        anchor_a[:, d, gi, li] = ra
+        anchor_b[:, d, gi, li] = rb
+        rest[:, d, gi, li] = rq
+        stiff_lin[d, gi, li] = kl
+        stiff_ang[d, gi, li] = ka
+        fill[body] += 1
+
+    for (a, b, ra, rb, rq, kl, ka) in joint_list:
+        if a >= 0:
+            put(a, b, False, 1, ra, rb, rq, kl, ka)
+            put(b, a, False, -1, ra, rb, rq, kl, ka)
+        else:
+            put(b, b, True, -1, ra, rb, rq, kl, ka)
+
+    return {
+        "other": jnp.asarray(other), "world": jnp.asarray(world),
+        "side": jnp.asarray(side), "anchor_a": jnp.asarray(anchor_a),
+        "anchor_b": jnp.asarray(anchor_b), "rest": jnp.asarray(rest),
+        "stiff_lin": jnp.asarray(stiff_lin), "stiff_ang": jnp.asarray(stiff_ang),
+    }
+
+
+def _replicate_springs_np(spring_list, n, degree):
+    g = n // 128
+    shp = (degree, g, 128)
+    other = np.full(shp, -1, np.int32)
+    world = np.zeros(shp, np.int32)
+    side = np.ones(shp, np.int32)
+    anchor_a = np.zeros((3,) + shp, np.float32)
+    anchor_b = np.zeros((3,) + shp, np.float32)
+    rrest = np.zeros(shp, np.float32)
+    rstiff = np.zeros(shp, np.float32)
+    fill = np.zeros(n, np.int32)
+
+    def put(body, partner, is_world, s, ra, rb, rr, k):
+        d = fill[body]
+        gi, li = body // 128, body % 128
+        other[d, gi, li] = partner
+        world[d, gi, li] = 1 if is_world else 0
+        side[d, gi, li] = s
+        anchor_a[:, d, gi, li] = ra
+        anchor_b[:, d, gi, li] = rb
+        rrest[d, gi, li] = rr
+        rstiff[d, gi, li] = k
+        fill[body] += 1
+
+    for (a, b, ra, rb, rr, k) in spring_list:
+        if a >= 0:
+            put(a, b, False, 1, ra, rb, rr, k)
+            put(b, a, False, -1, ra, rb, rr, k)
+        else:
+            put(b, b, True, -1, ra, rb, rr, k)
+
+    return {
+        "other": jnp.asarray(other), "world": jnp.asarray(world),
+        "side": jnp.asarray(side), "anchor_a": jnp.asarray(anchor_a),
+        "anchor_b": jnp.asarray(anchor_b), "rrest": jnp.asarray(rrest),
+        "rstiff": jnp.asarray(rstiff),
+    }
 
 
 def _quat_mul_np(q1, q2):

@@ -1,147 +1,233 @@
-"""Weld joint constraints: 6 rows (3 linear + 3 angular).
+"""Weld joint constraints: 6 rows (3 linear + 3 angular), replicated layout.
 
 TPU-native rebuild of ``source/joint.cpp``.  Row semantics:
   rows 0-2: world anchor coincidence  C = pA - pB          (joint.cpp:69-86)
   rows 3-5: relative-orientation drift C = 2 * vec(q_rel * conj(q_rest))
             (joint.cpp:88-99 — note the reference does NOT sign-correct w
             here; we preserve that)
-``body_a == -1`` is a body-to-world joint: the world side has identity
-orientation, anchor ``r_a`` interpreted as a world point, and a zero Jacobian
-(joint.cpp:74-80, 113-116).
+A world-side A (``world`` flag) has identity orientation, its anchor is a
+world point, and a zero Jacobian (joint.cpp:74-80, 113-116).
+
+All functions operate on the replicated (DJ, G, 128) body-major slot form
+(state.Joints): each endpoint body owns a slot; slot math is expressed in
+the joint's own A/B frame, so both replicas compute bit-identical values
+and the lam/penalty updates need no cross-replica communication — the same
+scheme as the contact cache (ops/replicated.py).  The only cross-body data
+movement is the partner-pose fetch through the injected ``gather``.
 
 Soft rows (finite stiffness) follow the solver's soft-constraint rules:
-penalty clamped to the stiffness, lambdaWarm excluded from the primal force,
-and no dual update (solver.cpp:290-292, 379, 416-417).
+penalty clamped to the stiffness, lambdaWarm excluded from the primal
+force, and no dual update (solver.cpp:290-292, 379, 416-417).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..maths import cross, quat_conj, quat_mul, quat_rotate
+from .. import cm
 from ..state import Joints
+from .replicated import gather_comps
+
+_IDENT = (0.0, 0.0, 0.0, 1.0)
+
+
+def _row_stiff(j: Joints):
+    """Per-row stiffness: rows 0-2 linear, rows 3-5 angular."""
+    return [j.stiff_lin] * 3 + [j.stiff_ang] * 3
 
 
 def joint_decay(joints: Joints, params) -> Joints:
     """Phase-2 warmstart decay (solver.cpp:281-293) for joint rows."""
+    if joints.dj == 0:
+        return joints
     lam = joints.lam
     if not params.post_stabilize:
         lam = lam * (params.alpha * params.gamma)
-    penalty = jnp.clip(
+    pen = jnp.clip(
         joints.penalty * params.gamma, params.penalty_min, params.joint_penalty_cap
     )
-    stiff = jnp.stack([joints.stiffness_lin] * 3 + [joints.stiffness_ang] * 3, axis=-1)
+    stiff = jnp.stack(_row_stiff(joints))
     soft = (stiff > 0.0) & jnp.isfinite(stiff)
-    penalty = jnp.where(soft, jnp.minimum(penalty, stiff), penalty)
-    return joints.replace(lam=lam * joints.active[:, None], penalty=penalty)
+    pen = jnp.where(soft, jnp.minimum(pen, stiff), pen)
+    valid = (joints.other >= 0)[None]
+    return joints.replace(lam=jnp.where(valid, lam, 0.0), penalty=pen)
 
 
-def joint_row_state(joints: Joints, pos, quat, lam):
-    """computeConstraint for all joints (joint.cpp:68-106).
+def joint_geometry(j: Joints, pose, gather):
+    """Slot geometry at the given poses (joint.cpp:68-106).
 
-    Returns C (J, 6), the world anchor arms rw_a/rw_b (J, 3), hardness mask,
-    and per-side validity.
+    ``pose``: dict with 'pos' (3 comps) / 'quat' (4 comps), each (G, 128).
+    Returns C rows (6), own-side world lever arm, A/B lever arms (for the
+    dual gain), masks.  Every output is replica-identical by construction.
     """
-    has_a = joints.body_a >= 0
-    a_idx = jnp.maximum(joints.body_a, 0)
-    b_idx = joints.body_b
+    valid = j.other >= 0
+    idx = jnp.where(valid, j.other, 0)
+    is_a = j.side > 0
+    is_world = j.world > 0
 
-    q_a = jnp.where(
-        has_a[:, None], quat[a_idx], jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    own_pos = tuple(c[None] for c in pose["pos"])
+    own_quat = tuple(c[None] for c in pose["quat"])
+    oth_pos = gather_comps(pose["pos"], idx, gather)
+    oth_quat = gather_comps(pose["quat"], idx, gather)
+
+    anchor_a = tuple(j.anchor_a[k] for k in range(3))
+    anchor_b = tuple(j.anchor_b[k] for k in range(3))
+    rest = tuple(j.rest[k] for k in range(4))
+
+    pa_body = cm.where(is_a, own_pos, oth_pos)
+    qa_body = cm.where(is_a, own_quat, oth_quat)
+    ident = tuple(jnp.full_like(qa_body[0], _IDENT[k]) for k in range(4))
+    qa = cm.where(is_world, ident, qa_body)
+    rw_a = cm.where(
+        is_world,
+        (jnp.zeros_like(pa_body[0]),) * 3,
+        cm.q_rotate(qa, anchor_a),
     )
-    rw_a = jnp.where(has_a[:, None], quat_rotate(q_a, joints.r_a), jnp.zeros_like(joints.r_a))
-    p_a = jnp.where(has_a[:, None], pos[a_idx] + rw_a, joints.r_a)
-    rw_b = quat_rotate(quat[b_idx], joints.r_b)
-    p_b = pos[b_idx] + rw_b
+    p_a = cm.where(is_world, anchor_a, cm.add(pa_body, rw_a))
 
-    lin_c = p_a - p_b
-    q_rel = quat_mul(quat_conj(q_a), quat[b_idx])
-    dq = quat_mul(q_rel, quat_conj(joints.rest_rel_quat))
-    ang_c = 2.0 * dq[..., :3]
-    c_rows = jnp.concatenate([lin_c, ang_c], axis=-1)
-    c_rows = jnp.where(joints.active[:, None], c_rows, 0.0)
+    pb_body = cm.where(is_a, oth_pos, own_pos)
+    qb = cm.where(is_a, oth_quat, own_quat)
+    rw_b = cm.q_rotate(qb, anchor_b)
+    p_b = cm.add(pb_body, rw_b)
 
-    stiff = jnp.stack([joints.stiffness_lin] * 3 + [joints.stiffness_ang] * 3, axis=-1)
-    hard = ~jnp.isfinite(stiff)
+    lin_c = cm.sub(p_a, p_b)
+    q_rel = cm.q_mul((-qa[0], -qa[1], -qa[2], qa[3]), qb)
+    dq = cm.q_mul(q_rel, (-rest[0], -rest[1], -rest[2], rest[3]))
+    ang_c = (2.0 * dq[0], 2.0 * dq[1], 2.0 * dq[2])
+
+    zero = jnp.zeros_like(lin_c[0])
+    c_rows = [
+        jnp.where(valid, lin_c[0], zero),
+        jnp.where(valid, lin_c[1], zero),
+        jnp.where(valid, lin_c[2], zero),
+        jnp.where(valid, ang_c[0], zero),
+        jnp.where(valid, ang_c[1], zero),
+        jnp.where(valid, ang_c[2], zero),
+    ]
+    rw_own = cm.where(is_a, rw_a, rw_b)
     return {
         "C": c_rows,
-        "hard": hard,
         "rw_a": rw_a,
         "rw_b": rw_b,
-        "has_a": has_a,
-        "lam": lam,
-        "motor": joints.motor,
-        "active": joints.active,
+        "rw_own": rw_own,
+        "valid": valid,
+        "is_a": is_a,
+        "is_world": is_world,
     }
 
 
-def joint_primal_force(row_state, penalty):
-    """f = clamp(penalty*C + lambdaWarm + motor, -inf, inf); soft rows drop
-    lambda (solver.cpp:379-381).  Bounds are infinite for weld joints
-    (joint.cpp:102-105)."""
-    lam_warm = jnp.where(row_state["hard"], row_state["lam"], 0.0)
-    f = penalty * row_state["C"] + lam_warm + row_state["motor"]
-    return jnp.where(row_state["active"][:, None], f, 0.0)
+def joint_force(geom, j: Joints, lam, pen):
+    """f = penalty*C + lambdaWarm + motor per row (solver.cpp:379-381);
+    soft rows drop lambda; weld bounds are infinite (joint.cpp:102-105)."""
+    stiff = _row_stiff(j)
+    out = []
+    for r in range(6):
+        hard = ~jnp.isfinite(stiff[r])
+        lam_warm = jnp.where(hard, lam[r], 0.0)
+        f = pen[r] * geom["C"][r] + lam_warm + j.rmotor[r]
+        out.append(jnp.where(geom["valid"], f, 0.0))
+    return out
 
 
-def joint_jacobians(row_state, side):
-    """Per-row J_lin/J_ang (J, 6, 3) for the given side (+1 = A, -1 = B).
+def joint_accumulate(geom, f_rows, pen):
+    """Own-side generalized force + 6x6 Hessian contributions, reduced over
+    the DJ axis (solver.cpp:375-398 applied to joint rows).
 
-    Rows 0-2: J_lin = sign * e_k, J_ang = sign * (r_world x e_k).
-    Rows 3-5: J_lin = 0,          J_ang = sign * e_k.   (joint.cpp:108-139)
+    Rows 0-2: J_lin = sign*e_k, J_ang = sign*(rw_own x e_k).
+    Rows 3-5: J_lin = 0,        J_ang = sign*e_k.   (joint.cpp:108-139)
+    Quadratic terms drop the sign.  Returns per-body (G, 128) components
+    F(3), T(3), m_ll(6), m_la(9), m_aa(6).
     """
-    j = row_state["C"].shape[0]
-    eye = jnp.eye(3)
-    rw = row_state["rw_a"] if side > 0 else row_state["rw_b"]
-    sign = 1.0 if side > 0 else -1.0
-    j_lin_lin = jnp.broadcast_to(eye, (j, 3, 3)) * sign
-    j_ang_lin = cross(rw[:, None, :], jnp.broadcast_to(eye, (j, 3, 3))) * sign
-    j_lin_ang = jnp.zeros((j, 3, 3))
-    j_ang_ang = jnp.broadcast_to(eye, (j, 3, 3)) * sign
-    j_lin = jnp.concatenate([j_lin_lin, j_lin_ang], axis=1)   # (J, 6, 3)
-    j_ang = jnp.concatenate([j_ang_lin, j_ang_ang], axis=1)
-    if side > 0:
-        # World side contributes nothing (joint.cpp:113-116).
-        mask = row_state["has_a"][:, None, None]
-        j_lin = jnp.where(mask, j_lin, 0.0)
-        j_ang = jnp.where(mask, j_ang, 0.0)
-    return j_lin, j_ang
+    sign = jnp.where(geom["is_a"], 1.0, -1.0)
+    okf = geom["valid"].astype(jnp.float32)
+    rw = geom["rw_own"]
+
+    f_lin = (f_rows[0] * okf, f_rows[1] * okf, f_rows[2] * okf)
+    f_ang = (f_rows[3] * okf, f_rows[4] * okf, f_rows[5] * okf)
+
+    F = [sign * f_lin[k] for k in range(3)]
+    tv = cm.cross(rw, f_lin)
+    T = [sign * (tv[k] + f_ang[k]) for k in range(3)]
+
+    # c_k = rw x e_k: c_0 = (0, rw_z, -rw_y), c_1 = (-rw_z, 0, rw_x),
+    # c_2 = (rw_y, -rw_x, 0).
+    zero = jnp.zeros_like(rw[0])
+    c = [
+        (zero, rw[2], -rw[1]),
+        (-rw[2], zero, rw[0]),
+        (rw[1], -rw[0], zero),
+    ]
+    p = [pen[r] * okf for r in range(6)]
+
+    m_ll = [p[0], zero, zero, p[1], zero, p[2]]
+    # m_la[i*3+j] = sum_r pen_r * J_lin_r[i] * J_ang_r[j]; lin rows have
+    # J_lin = e_r so row i takes pen_i * c_i.
+    m_la = []
+    for i in range(3):
+        for k in range(3):
+            m_la.append(p[i] * c[i][k])
+    m_aa = [
+        p[0] * c[0][0] * c[0][0] + p[1] * c[1][0] * c[1][0] + p[2] * c[2][0] * c[2][0] + p[3],
+        p[0] * c[0][0] * c[0][1] + p[1] * c[1][0] * c[1][1] + p[2] * c[2][0] * c[2][1],
+        p[0] * c[0][0] * c[0][2] + p[1] * c[1][0] * c[1][2] + p[2] * c[2][0] * c[2][2],
+        p[0] * c[0][1] * c[0][1] + p[1] * c[1][1] * c[1][1] + p[2] * c[2][1] * c[2][1] + p[4],
+        p[0] * c[0][1] * c[0][2] + p[1] * c[1][1] * c[1][2] + p[2] * c[2][1] * c[2][2],
+        p[0] * c[0][2] * c[0][2] + p[1] * c[1][2] * c[1][2] + p[2] * c[2][2] * c[2][2] + p[5],
+    ]
+
+    return {
+        "F": [jnp.sum(x, axis=0) for x in F],
+        "T": [jnp.sum(x, axis=0) for x in T],
+        "m_ll": [jnp.sum(x, axis=0) for x in m_ll],
+        "m_la": [jnp.sum(x, axis=0) for x in m_la],
+        "m_aa": [jnp.sum(x, axis=0) for x in m_aa],
+    }
 
 
-def joint_dual_update(row_state, penalty, beta, params):
-    """Per-iteration dual ascent + penalty ramp for hard joint rows
-    (solver.cpp:411-429: lambda = clamp(penalty*C + lambda, fmin, fmax);
-    weld bounds are infinite so lambda += penalty*C, and the row is always
-    "active" so the penalty always ramps).
+def joint_dual(geom, j: Joints, lam, pen, beta, params):
+    """Dual ascent + penalty ramp for hard joint rows at the post-primal
+    poses (solver.cpp:411-429: weld bounds are infinite so
+    lambda += penalty*C, and the row is always "active" so the penalty
+    always ramps).  Replica-identical.
 
-    Stability note: this full-rate ascent is divergent under a pure-Jacobi
-    primal (the mid-iteration residual of a stiff chain alternates in sign
-    along the chain and accumulation feeds back explosively — measured
-    divergent even at 0.1x rate).  The solver therefore runs Gauss-Seidel
-    color sub-passes over the joint graph (see solver._step_impl), which
-    restores the reference's convergence structure; joint_dual_rate
-    additionally under-relaxes the ascent if needed (1.0 = reference)."""
-    hard = row_state["hard"] & row_state["active"][:, None]
-    lam_new = jnp.where(
-        hard,
-        row_state["lam"] + params.joint_dual_rate * penalty * row_state["C"],
-        row_state["lam"],
-    )
+    Stability: the full-rate ascent diverges under a Jacobi primal on
+    stiff chains (see config.joint_dual_rate), so the lambda rate is a
+    knob defaulting to penalty-only."""
+    stiff = _row_stiff(j)
+    lam_new, pen_new = [], []
+    for r in range(6):
+        hard = ~jnp.isfinite(stiff[r]) & geom["valid"]
+        lam_r = jnp.where(
+            hard, lam[r] + params.joint_dual_rate * pen[r] * geom["C"][r], lam[r]
+        )
+        # rowPenaltyGain weights (solver.cpp:94-125): both bodies' J.
+        if r < 3:
+            def cross_e(rw, k=r):
+                # rw x e_k in closed form
+                z = jnp.zeros_like(rw[0])
+                return [(z, rw[2], -rw[1]), (-rw[2], z, rw[0]),
+                        (rw[1], -rw[0], z)][k]
 
-    # rowPenaltyGain weights (solver.cpp:94-125).
-    jl_a, ja_a = joint_jacobians(row_state, +1)
-    jl_b, ja_b = joint_jacobians(row_state, -1)
-    lin_w = jnp.sum(jl_a * jl_a, axis=-1) + jnp.sum(jl_b * jl_b, axis=-1)
-    ang_w = jnp.sum(ja_a * ja_a, axis=-1) + jnp.sum(ja_b * ja_b, axis=-1)
-    total = lin_w + ang_w
-    gain = jnp.where(
-        total < 1.0e-8,
-        beta,
-        (beta * lin_w + beta * params.angular_beta_scale * ang_w) / jnp.maximum(total, 1.0e-8),
-    )
-    pen_new = jnp.where(
-        hard,
-        jnp.minimum(penalty + gain * jnp.abs(row_state["C"]), params.joint_penalty_cap),
-        penalty,
-    )
-    return lam_new, pen_new
+            ca = cross_e(geom["rw_a"])
+            cb = cross_e(geom["rw_b"])
+            worldf = geom["is_world"].astype(jnp.float32)
+            lin_w = 2.0 - worldf
+            ang_w = cm.length_sq(ca) * (1.0 - worldf) + cm.length_sq(cb)
+        else:
+            lin_w = jnp.zeros_like(pen[r])
+            ang_w = 2.0 - geom["is_world"].astype(jnp.float32)
+        total = lin_w + ang_w
+        gain = jnp.where(
+            total < 1.0e-8,
+            beta,
+            (beta * lin_w + beta * params.angular_beta_scale * ang_w)
+            / jnp.maximum(total, 1.0e-8),
+        )
+        pen_r = jnp.where(
+            hard,
+            jnp.minimum(pen[r] + gain * jnp.abs(geom["C"][r]), params.joint_penalty_cap),
+            pen[r],
+        )
+        lam_new.append(lam_r)
+        pen_new.append(pen_r)
+    return jnp.stack(lam_new), jnp.stack(pen_new)

@@ -51,18 +51,25 @@ def select_gather(table, idx):
     """Gather via G-way broadcast-select + lane take_along_axis.
 
     Mosaic-compatible: the only dynamic op is a same-shape gather along the
-    lane axis.  Cost: G * (1 lane-gather + 1 select) per component.
+    lane axis.  Cost: G * (1 lane-gather + 1 select) per component.  The
+    flattened row count is padded to a multiple of 8 sublanes — Mosaic's
+    lane-gather lowering rejects sub-vreg shapes (seen with 1-slot joint
+    tables, (1, 128)).
     """
     d, g, _ = idx.shape
-    col = idx & 127
-    row = idx >> 7
-    flat_col = col.reshape(d * g, 128)
-    acc = jnp.zeros((d * g, 128), table.dtype)
+    rows = d * g
+    pad = (-rows) % 8
+    col = (idx & 127).reshape(rows, 128)
+    row = (idx >> 7).reshape(rows, 128)
+    if pad:
+        col = jnp.concatenate([col, jnp.zeros((pad, 128), col.dtype)], axis=0)
+        row = jnp.concatenate([row, jnp.zeros((pad, 128), row.dtype)], axis=0)
+    acc = jnp.zeros((rows + pad, 128), table.dtype)
     for k in range(table.shape[0]):
-        bc = jnp.broadcast_to(table[k][None, :], (d * g, 128))
-        gath = jnp.take_along_axis(bc, flat_col, axis=1)
-        acc = jnp.where(row.reshape(d * g, 128) == k, gath, acc)
-    return acc.reshape(d, g, 128)
+        bc = jnp.broadcast_to(table[k][None, :], (rows + pad, 128))
+        gath = jnp.take_along_axis(bc, col, axis=1)
+        acc = jnp.where(row == k, gath, acc)
+    return acc[:rows].reshape(d, g, 128)
 
 
 # ---------------------------------------------------------------------------

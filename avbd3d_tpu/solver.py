@@ -46,17 +46,17 @@ from .maths import (
 from .ops import replicated as rep
 from .ops.broadphase import refresh_or_reuse, symmetric_filter
 from .ops.joints import (
+    joint_accumulate,
     joint_decay,
-    joint_dual_update,
-    joint_jacobians,
-    joint_primal_force,
-    joint_row_state,
+    joint_dual,
+    joint_force,
+    joint_geometry,
 )
 from .ops.springs import (
+    spring_accumulate,
     spring_decay,
-    spring_jacobians,
-    spring_primal_force,
-    spring_row_state,
+    spring_force,
+    spring_geometry,
 )
 from .state import Diagnostics, World
 
@@ -247,20 +247,15 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
                 inv_mass=jnp.where(frozen, 0.0, b.inv_mass),
             ))
     # Backend dispatch (trace-time static): the Pallas mega-kernel path
-    # covers contact-only scenes with <= 1024 bodies on TPU; everything else
-    # (joints/springs, big N, CPU) uses the portable XLA path.
-    supports_pallas = (
-        world.joints.j == 0
-        and world.springs.s == 0
-        and world.bodies.n <= 1024
-    )
+    # covers scenes (with or without joints/springs) up to 1024 bodies on
+    # TPU; bigger N uses the portable XLA path.
+    supports_pallas = world.bodies.n <= 1024
     if cap.backend == "pallas":
         if not supports_pallas:
             raise ValueError(
                 "backend='pallas' forced on an unsupported scene "
-                f"(n={world.bodies.n}, joints={world.joints.j}, "
-                f"springs={world.springs.s}); the Pallas path covers "
-                "contact-only scenes with <= 1024 bodies"
+                f"(n={world.bodies.n}); the Pallas path covers scenes "
+                "with <= 1024 bodies"
             )
         use_pallas = True
     elif cap.backend == "xla":
@@ -316,8 +311,9 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     # ------------------------------------------------------------------
     inv_dt2 = 1.0 / (dt * dt)
     mass = b.mass.reshape(n)
-    has_joints = joints.incidence.shape[1] > 0
-    has_springs = springs.incidence.shape[1] > 0
+    has_joints = joints.dj > 0
+    has_springs = springs.ds > 0
+    pen_s = springs.penalty  # static within the step (soft rows never ramp)
     eye = jnp.eye(3)
 
     def pose_dict(pos, quat):
@@ -326,7 +322,10 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
             "quat": tuple(quat[:, k].reshape(g, 128) for k in range(4)),
         }
 
-    def assemble_and_solve(pos, quat, geom, f_rows, cmat, jrs, f_j, pen_j, srs, f_s, pen_s):
+    def flat(comps):
+        return jnp.stack([c.reshape(n) for c in comps], axis=-1)
+
+    def assemble_and_solve(pos, quat, geom, f_rows, cmat, jacc, sacc):
         iw = _world_inertia_components(quat, b._n3(b.inertia))
         i_world = _sym33(iw)
 
@@ -336,10 +335,6 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         rhs_a = jnp.einsum("nij,nj->ni", i_world, rot_err) * inv_dt2
 
         forces = rep.body_forces(geom, f_rows)
-
-        def flat(comps):
-            return jnp.stack([c.reshape(n) for c in comps], axis=-1)
-
         rhs_l += flat(forces["F"])
         rhs_a += flat(forces["T"])
         m_ll = _sym33([c.reshape(n) for c in cmat[:6]])
@@ -347,50 +342,23 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         m_aa = _sym33([c.reshape(n) for c in cmat[15:21]])
         gyro = flat(cmat[21:24])
 
+        # Joint/spring contributions (replicated accumulation, always
+        # fresh — they are per-color re-evaluated, unlike the cached
+        # contact Hessian).
+        for acc in (jacc, sacc):
+            if acc is not None:
+                rhs_l += flat(acc["F"])
+                rhs_a += flat(acc["T"])
+                m_ll = m_ll + _sym33([c.reshape(n) for c in acc["m_ll"]])
+                m_la = m_la + jnp.stack(
+                    [c.reshape(n) for c in acc["m_la"]], axis=-1
+                ).reshape(n, 3, 3)
+                m_aa = m_aa + _sym33([c.reshape(n) for c in acc["m_aa"]])
+
         lhs_ll = m_ll + eye[None] * (mass * inv_dt2)[:, None, None]
         lhs_la = m_la
         lhs_al = jnp.swapaxes(m_la, -1, -2)
         lhs_aa = m_aa + i_world * inv_dt2 + eye[None] * gyro[:, :, None]
-
-        # ---- joint rows (precomputed incidence) ----
-        if has_joints:
-            jidx = joints.incidence
-            jok = jidx >= 0
-            jc = jnp.where(jok, jidx, 0)
-            jl_a, ja_a = joint_jacobians(jrs, +1)
-            jl_b, ja_b = joint_jacobians(jrs, -1)
-            is_a = (joints.inc_side > 0)[..., None, None]
-            jl = jnp.where(is_a, jl_a[jc], jl_b[jc])
-            ja = jnp.where(is_a, ja_a[jc], ja_b[jc])
-            wj = (jok[..., None] & jrs["active"][jc][..., None]).astype(jnp.float32)
-            fj = f_j[jc] * wj
-            pj = pen_j[jc] * wj
-            rhs_l += jnp.einsum("ndri,ndr->ni", jl, fj)
-            rhs_a += jnp.einsum("ndri,ndr->ni", ja, fj)
-            lhs_ll += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, jl)
-            lhs_la += jnp.einsum("ndr,ndri,ndrj->nij", pj, jl, ja)
-            lhs_al += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, jl)
-            lhs_aa += jnp.einsum("ndr,ndri,ndrj->nij", pj, ja, ja)
-
-        # ---- spring rows ----
-        if has_springs:
-            sidx = springs.incidence
-            sok = sidx >= 0
-            sc = jnp.where(sok, sidx, 0)
-            sl_a, sa_a = spring_jacobians(srs, +1)
-            sl_b, sa_b = spring_jacobians(srs, -1)
-            is_a = (springs.inc_side > 0)[..., None]
-            sl = jnp.where(is_a, sl_a[sc], sl_b[sc])
-            sa = jnp.where(is_a, sa_a[sc], sa_b[sc])
-            ws = (sok & srs["active"][sc]).astype(jnp.float32)
-            fs = f_s[sc] * ws
-            ps = pen_s[sc] * ws
-            rhs_l += jnp.einsum("ndi,nd->ni", sl, fs)
-            rhs_a += jnp.einsum("ndi,nd->ni", sa, fs)
-            lhs_ll += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sl)
-            lhs_la += jnp.einsum("nd,ndi,ndj->nij", ps, sl, sa)
-            lhs_al += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sl)
-            lhs_aa += jnp.einsum("nd,ndi,ndj->nij", ps, sa, sa)
 
         dl, da = solve66(lhs_ll, lhs_la, lhs_al, lhs_aa, rhs_l, rhs_a)
         return dl, da
@@ -425,18 +393,20 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
             cmat = tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
 
         n_colors = cap.joint_colors if (has_joints or has_springs) else 1
-        color_arr = joints.color
+        color_arr = joints.color.reshape(n)
         new_pos, new_quat = pos, quat
         for c in range(n_colors):
-            jrs = joint_row_state(joints, new_pos, new_quat, lam_j)
-            f_j = joint_primal_force(jrs, pen_j)
-            srs = spring_row_state(springs, new_pos, new_quat)
-            f_s = spring_primal_force(srs, springs.penalty)
+            jacc = sacc = None
+            if has_joints:
+                jgeom = joint_geometry(joints, pose_dict(new_pos, new_quat), gather)
+                f_j = joint_force(jgeom, joints, lam_j, pen_j)
+                jacc = joint_accumulate(jgeom, f_j, pen_j)
+            if has_springs:
+                sgeom = spring_geometry(springs, pose_dict(new_pos, new_quat), gather)
+                f_s = spring_force(sgeom, pen_s)
+                sacc = spring_accumulate(sgeom, f_s, pen_s)
 
-            dl, da = assemble_and_solve(
-                new_pos, new_quat, geom, f_c, cmat, jrs, f_j, pen_j,
-                srs, f_s, springs.penalty,
-            )
+            dl, da = assemble_and_solve(new_pos, new_quat, geom, f_c, cmat, jacc, sacc)
             apply = dyn & (color_arr == c) if n_colors > 1 else dyn
             cand_pos = new_pos - relax * dl
             dq = jnp.concatenate([da * relax, jnp.zeros((n, 1))], axis=-1)
@@ -454,8 +424,11 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
             jnp.stack(crs["stick"]), alpha_cur, params,
         )
         lam_c2, pen_c2, stick2 = rep.dual_update(crs2, geom2, pen_c, params.beta, params)
-        jrs2 = joint_row_state(joints, new_pos, new_quat, lam_j)
-        lam_j2, pen_j2 = joint_dual_update(jrs2, pen_j, params.beta, params)
+        if has_joints:
+            jgeom2 = joint_geometry(joints, pose_dict(new_pos, new_quat), gather)
+            lam_j2, pen_j2 = joint_dual(jgeom2, joints, lam_j, pen_j, params.beta, params)
+        else:
+            lam_j2, pen_j2 = lam_j, pen_j
 
         do_dual = it < params.iterations
         lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))

@@ -15,9 +15,11 @@ replicated body-major core (ops/replicated.py) inside two Mosaic kernels:
 
 Because Bodies/Contacts state is stored component-major (state.py), every
 kernel operand is a state leaf passed as-is: the XLA glue per step is just
-the broadphase and a handful of scalar extractions.  Restrictions: N <= 1024
-bodies (G <= 8) and no joints/springs (such scenes fall back to the XLA
-backend — see solver.step dispatch).
+the broadphase candidate stage and a handful of scalar extractions.
+Joint/spring row families run inside the kernel in the same replicated
+body-major layout (ops/joints.py, ops/springs.py), with Gauss-Seidel color
+sub-passes for hard-joint graphs.  Restriction: N <= 1024 bodies (G <= 8);
+bigger scenes fall back to the XLA backend (solver.step dispatch).
 """
 
 from __future__ import annotations
@@ -168,7 +170,8 @@ def collide_and_init_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverPara
 
 def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
                    av_r, plv_r, mass_r, invm_r, fric_r, inertia_r,
-                   inv_inertia_r, gather=rep.select_gather):
+                   inv_inertia_r, gather=rep.select_gather, joints=None,
+                   springs=None, n_colors=1):
     """Phases 3-6 as pure array math: the body of kernel B.
 
     Called with VMEM-resident values inside the Pallas kernel (gather =
@@ -205,6 +208,26 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             "friction": fric_r[:],
         }
         consts = rep.pair_constants(cache.other, body, gather)
+
+        # ---- joints/springs: phase-2 decay (solver.cpp:281-293) and the
+        # replicated row machinery (ops/joints.py, ops/springs.py) ----
+        from .ops.joints import (
+            joint_accumulate, joint_decay, joint_dual, joint_force,
+            joint_geometry,
+        )
+        from .ops.springs import (
+            spring_accumulate, spring_decay, spring_force, spring_geometry,
+        )
+
+        has_j = joints is not None and joints.dj > 0
+        has_s = springs is not None and springs.ds > 0
+        if has_j:
+            joints = joint_decay(joints, params)
+        if has_s:
+            springs = spring_decay(springs, params)
+        s_pen = springs.penalty if has_s else None
+        ncol = n_colors if has_j else 1  # colors exist only for hard joints
+        color = joints.color if has_j else None
 
         # ---- phase 3: prediction (solver.cpp:299-337) ----
         lv_in = tuple(lv_r[k] for k in range(3))
@@ -286,6 +309,8 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             geom = unflat_geom(carry[7:43])
             lam, pen, stick_f = carry[43:46]
             mat = list(carry[46:70])
+            if has_j:
+                j_lam, j_pen = carry[70], carry[71]
             pos = (px, py, pz)
             quat = (q0, q1, q2, q3)
             stick = stick_f > 0.5
@@ -297,7 +322,6 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
             f = rep.primal_force(rows, pen)
 
-            iw = _world_inertia_comps(quat, inertia)
             if rebuild:
                 iiw = _world_inertia_comps(quat, inv_inertia)
                 m = rep.body_matrix(geom, f, pen, iiw)
@@ -305,38 +329,81 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             m_ll, m_la, m_aa, gyro = mat[:6], mat[6:15], mat[15:21], mat[21:24]
             forces = rep.body_forces(geom, f)
 
-            rhs_l = tuple(
-                mass * (pos[k] - ip[k]) * inv_dt2 + forces["F"][k] for k in range(3)
-            )
-            q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
-            sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
-            rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
-            rhs_a = (
-                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
-                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
-                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
-            )
+            # Primal color sub-passes: contacts stay Jacobi (iteration-start
+            # geometry/forces); joints/springs are Gauss-Seidel across the
+            # colored hard-joint graph, re-evaluated at the newest poses per
+            # pass.  Contact-only scenes take exactly one pass.
+            cur_pos, cur_quat = pos, quat
+            for ci in range(ncol):
+                jacc = sacc = None
+                if has_j:
+                    jg = joint_geometry(
+                        joints, {"pos": cur_pos, "quat": cur_quat}, gather
+                    )
+                    fj = joint_force(jg, joints, j_lam, j_pen)
+                    jacc = joint_accumulate(jg, fj, j_pen)
+                if has_s:
+                    sg = spring_geometry(
+                        springs, {"pos": cur_pos, "quat": cur_quat}, gather
+                    )
+                    fs = spring_force(sg, s_pen)
+                    sacc = spring_accumulate(sg, fs, s_pen)
 
-            m_dt2 = mass * inv_dt2
-            a_ll = (
-                m_ll[0] + m_dt2, m_ll[1], m_ll[2],
-                m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
-            )
-            a_aa = (
-                m_aa[0] + iw[0] * inv_dt2 + gyro[0],
-                m_aa[1] + iw[1] * inv_dt2,
-                m_aa[2] + iw[2] * inv_dt2,
-                m_aa[3] + iw[3] * inv_dt2 + gyro[1],
-                m_aa[4] + iw[4] * inv_dt2,
-                m_aa[5] + iw[5] * inv_dt2 + gyro[2],
-            )
-            dl, da = solve66_cm(a_ll, tuple(m_la), a_aa, rhs_l, rhs_a)
+                iw = _world_inertia_comps(cur_quat, inertia)
+                rhs_l = list(
+                    mass * (cur_pos[k] - ip[k]) * inv_dt2 + forces["F"][k]
+                    for k in range(3)
+                )
+                q_err = cm.q_mul(cur_quat, (-iq[0], -iq[1], -iq[2], iq[3]))
+                sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
+                rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
+                rhs_a = [
+                    (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
+                    (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
+                    (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
+                ]
 
-            new_pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
-            dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
-                           jnp.zeros_like(da[0])), quat)
-            nq = _q_normalize(tuple(quat[k] - 0.5 * dq[k] for k in range(4)))
-            nq = tuple(jnp.where(dyn, nq[k], quat[k]) for k in range(4))
+                m_dt2 = mass * inv_dt2
+                a_ll = [
+                    m_ll[0] + m_dt2, m_ll[1], m_ll[2],
+                    m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
+                ]
+                a_la = list(m_la)
+                a_aa = [
+                    m_aa[0] + iw[0] * inv_dt2 + gyro[0],
+                    m_aa[1] + iw[1] * inv_dt2,
+                    m_aa[2] + iw[2] * inv_dt2,
+                    m_aa[3] + iw[3] * inv_dt2 + gyro[1],
+                    m_aa[4] + iw[4] * inv_dt2,
+                    m_aa[5] + iw[5] * inv_dt2 + gyro[2],
+                ]
+                for acc in (jacc, sacc):
+                    if acc is None:
+                        continue
+                    for k in range(3):
+                        rhs_l[k] = rhs_l[k] + acc["F"][k]
+                        rhs_a[k] = rhs_a[k] + acc["T"][k]
+                    for k in range(6):
+                        a_ll[k] = a_ll[k] + acc["m_ll"][k]
+                        a_aa[k] = a_aa[k] + acc["m_aa"][k]
+                    for k in range(9):
+                        a_la[k] = a_la[k] + acc["m_la"][k]
+
+                dl, da = solve66_cm(tuple(a_ll), tuple(a_la), tuple(a_aa),
+                                    tuple(rhs_l), tuple(rhs_a))
+
+                if ncol > 1:
+                    applyf = dynf * (color == ci).astype(jnp.float32)
+                    applyb = dyn & (color == ci)
+                else:
+                    applyf, applyb = dynf, dyn
+                new_pos = tuple(cur_pos[k] - relax * dl[k] * applyf for k in range(3))
+                dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
+                               jnp.zeros_like(da[0])), cur_quat)
+                nq = _q_normalize(tuple(cur_quat[k] - 0.5 * dq[k] for k in range(4)))
+                nq = tuple(jnp.where(applyb, nq[k], cur_quat[k]) for k in range(4))
+                cur_pos, cur_quat = new_pos, nq
+            new_pos, nq = cur_pos, cur_quat
 
             geom2 = geom_at(new_pos, nq)
             rows2 = rep.eval_rows(
@@ -356,9 +423,19 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             if ramp_pen:
                 pen = jnp.where(do_dual, pen2, pen)
             stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
-            return (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
-                    nq[3]) + flat_geom(geom2) + (
-                        lam, pen, stick.astype(jnp.float32)) + tuple(mat)
+            out = (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
+                   nq[3]) + flat_geom(geom2) + (
+                       lam, pen, stick.astype(jnp.float32)) + tuple(mat)
+            if has_j:
+                # Joint rows are always fresh in the Hessian, so their ramp
+                # cadence stays per-iteration (reference-exact).
+                jg2 = joint_geometry(joints, {"pos": new_pos, "quat": nq}, gather)
+                j_lam2, j_pen2 = joint_dual(jg2, joints, j_lam, j_pen,
+                                            params.beta, params)
+                j_lam = jnp.where(do_dual, j_lam2, j_lam)
+                j_pen = jnp.where(do_dual, j_pen2, j_pen)
+                out = out + (j_lam, j_pen)
+            return out
 
         geom0 = geom_at(ps, qs)
         zmat = tuple(jnp.zeros_like(mass) for _ in range(24))
@@ -367,6 +444,8 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         ) + flat_geom(geom0) + (
             cache.lam, cache.penalty, cache.stick.astype(jnp.float32),
         ) + zmat
+        if has_j:
+            carry = carry + (joints.lam, joints.penalty)
 
         k_re = max(1, params.lhs_rebuild_every)
         blocks, block_tail = divmod(total_iters, k_re)
@@ -388,6 +467,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         px, py, pz, q0, q1, q2, q3 = carry[:7]
         geom_f = unflat_geom(carry[7:43])
         lam, pen, stick_f = carry[43:46]
+        j_lam_f, j_pen_f = (carry[70], carry[71]) if has_j else (None, None)
         pos_f = (px, py, pz)
         quat_f = (q0, q1, q2, q3)
         pos_f, san = _san3(pos_f, pos0, san)
@@ -445,7 +525,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         for k, v in enumerate(diag_vals):
             acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
 
-        return (
+        out = (
             jnp.stack(pos_f),
             jnp.stack(quat_f),
             jnp.stack(nlv),
@@ -457,6 +537,11 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             stick_f,
             acc,
         )
+        if has_j:
+            out = out + (j_lam_f, j_pen_f)
+        if has_s:
+            out = out + (s_pen,)
+        return out
 
 
 def _make_kernel_b(params: SolverParams):
@@ -476,7 +561,59 @@ def _make_kernel_b(params: SolverParams):
 # ~6 MB contact cache between kernels A and B).
 # ---------------------------------------------------------------------------
 
-def _make_kernel_step(params: SolverParams):
+import dataclasses as _dc
+from typing import Any as _Any
+
+
+def _view_pytree(cls):
+    fields = [f.name for f in _dc.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_view_pytree
+@_dc.dataclass(frozen=True)
+class _JView:
+    """In-kernel view of the replicated joint arrays (state.Joints minus the
+    dense build-time fields, which never enter the kernels)."""
+
+    other: _Any; world: _Any; side: _Any
+    anchor_a: _Any; anchor_b: _Any; rest: _Any
+    stiff_lin: _Any; stiff_ang: _Any; rmotor: _Any
+    lam: _Any; penalty: _Any; color: _Any
+
+    @property
+    def dj(self):
+        return self.other.shape[0]
+
+    def replace(self, **kw):
+        return _dc.replace(self, **kw)
+
+
+_JFIELDS = ("other", "world", "side", "anchor_a", "anchor_b", "rest",
+            "stiff_lin", "stiff_ang", "rmotor", "lam", "penalty", "color")
+
+
+@_view_pytree
+@_dc.dataclass(frozen=True)
+class _SView:
+    other: _Any; world: _Any; side: _Any
+    anchor_a: _Any; anchor_b: _Any; rrest: _Any; rstiff: _Any
+    penalty: _Any
+
+    @property
+    def ds(self):
+        return self.other.shape[0]
+
+    def replace(self, **kw):
+        return _dc.replace(self, **kw)
+
+
+_SFIELDS = ("other", "world", "side", "anchor_a", "anchor_b", "rrest",
+            "rstiff", "penalty")
+
+
+def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
     from .ops.broadphase import symmetric_filter
 
     def kernel(*refs):
@@ -486,7 +623,15 @@ def _make_kernel_step(params: SolverParams):
         thr = refs[14][:]
         (pos_r, quat_r, size_r, lv_r, av_r, plv_r, mass_r, invm_r, fric_r,
          inertia_r, inv_inertia_r) = [r[:] for r in refs[15:26]]
-        out_refs = refs[26:]
+        at = 26
+        joints = springs = None
+        if dj:
+            joints = _JView(*[refs[at + i][:] for i in range(len(_JFIELDS))])
+            at += len(_JFIELDS)
+        if ds:
+            springs = _SView(*[refs[at + i][:] for i in range(len(_SFIELDS))])
+            at += len(_SFIELDS)
+        out_refs = refs[at:]
 
         body = {
             "pos": tuple(pos_r[k] for k in range(3)),
@@ -501,34 +646,42 @@ def _make_kernel_step(params: SolverParams):
         new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
         outs = _kernel_b_math(
             params, new, pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r,
-            fric_r, inertia_r, inv_inertia_r,
+            fric_r, inertia_r, inv_inertia_r, joints=joints, springs=springs,
+            n_colors=n_colors,
         )
         cache_out = _cache_to_args(new)
-        lam_i = _CACHE_FIELDS.index("lam")
-        pen_i = _CACHE_FIELDS.index("penalty")
-        stick_i = _CACHE_FIELDS.index("stick")
-        cache_out[lam_i] = outs[6]
-        cache_out[pen_i] = outs[7]
-        cache_out[stick_i] = outs[8]
+        cache_out[_CACHE_FIELDS.index("lam")] = outs[6]
+        cache_out[_CACHE_FIELDS.index("penalty")] = outs[7]
+        cache_out[_CACHE_FIELDS.index("stick")] = outs[8]
         lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         diag = outs[9] + jnp.where(
             (row == 0) & (lane == 9), kept.astype(jnp.float32), 0.0
         )
-        for ref, val in zip(out_refs, cache_out + list(outs[:6]) + [diag]):
+        vals = cache_out + list(outs[:6]) + [diag] + list(outs[10:])
+        for ref, val in zip(out_refs, vals):
             ref[:] = val
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
-    """One fused kernel: phases 2-6.  Returns (contacts', bodies', diag, kept)."""
+@functools.partial(jax.jit, static_argnames=("params", "n_colors"))
+def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, joints, springs,
+                    params: SolverParams, n_colors: int = 1):
+    """One fused kernel: phases 2-6.  Returns (contacts', bodies', diag,
+    kept, j_lam, j_pen, s_pen) — the last three None when the scene has no
+    joints/springs."""
+    dj = joints.other.shape[0] if joints is not None else 0
+    ds = springs.other.shape[0] if springs is not None else 0
     in_args = _cache_to_args(old) + [
         nb_raw, keys, thr, b.pos, b.quat, b.size, b.linvel, b.angvel,
         b.prev_linvel, b.mass, b.inv_mass, b.friction, b.inertia,
         b.inv_inertia,
     ]
+    if dj:
+        in_args += [getattr(joints, f) for f in _JFIELDS]
+    if ds:
+        in_args += [getattr(springs, f) for f in _SFIELDS]
     shp = jax.ShapeDtypeStruct
     g = old.other.shape[1]
     out_shape = [shp(a.shape, a.dtype) for a in _cache_to_args(old)] + [
@@ -540,8 +693,12 @@ def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
         shp((3, g, 128), jnp.float32),      # prev_angvel
         shp((8, 128), jnp.float32),         # diagnostics (+kept at lane 9)
     ]
+    if dj:
+        out_shape += [shp((6, dj, g, 128), jnp.float32)] * 2   # j_lam, j_pen
+    if ds:
+        out_shape += [shp((ds, g, 128), jnp.float32)]          # s_pen
     outs = pl.pallas_call(
-        _make_kernel_step(params),
+        _make_kernel_step(params, dj, ds, n_colors),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(in_args),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
@@ -554,7 +711,14 @@ def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
         prev_linvel=outs[16], prev_angvel=outs[17],
     )
     diag = outs[18]
-    return contacts, bodies, diag, diag[0, 9].astype(jnp.int32)
+    at = 19
+    j_lam = j_pen = s_pen = None
+    if dj:
+        j_lam, j_pen = outs[at], outs[at + 1]
+        at += 2
+    if ds:
+        s_pen = outs[at]
+    return contacts, bodies, diag, diag[0, 9].astype(jnp.int32), j_lam, j_pen, s_pen
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
@@ -624,18 +788,29 @@ def collide_and_init_math(old: Contacts, nb_raw, keys, thr, b, params: SolverPar
     return rep.collide_and_init(old, neighbors, body, params, gather), kept
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def solve_loop_math(contacts: Contacts, b, params: SolverParams):
+@functools.partial(jax.jit, static_argnames=("params", "n_colors"))
+def solve_loop_math(contacts: Contacts, b, params: SolverParams, joints=None,
+                    springs=None, n_colors: int = 1):
     outs = _kernel_b_math(
         params, contacts, b.pos, b.quat, b.linvel, b.angvel, b.prev_linvel,
         b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia,
-        gather=_math_gather(),
+        gather=_math_gather(), joints=joints, springs=springs,
+        n_colors=n_colors,
     )
     bodies = b.replace(
         pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
         prev_linvel=outs[4], prev_angvel=outs[5],
     )
-    return bodies, outs[6], outs[7], outs[8] > 0.5, outs[9]
+    has_j = joints is not None and joints.other.shape[0] > 0
+    has_s = springs is not None and springs.other.shape[0] > 0
+    at = 10
+    j_lam = j_pen = s_pen = None
+    if has_j:
+        j_lam, j_pen = outs[at], outs[at + 1]
+        at += 2
+    if has_s:
+        s_pen = outs[at]
+    return bodies, outs[6], outs[7], outs[8] > 0.5, outs[9], j_lam, j_pen, s_pen
 
 
 # ---------------------------------------------------------------------------
@@ -659,31 +834,44 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         cap.max_degree, params.bp_margin,
     )
     world = world.replace(bp=bp)
+    has_j = world.joints.dj > 0
+    has_s = world.springs.ds > 0
+    jin = world.joints if has_j else None
+    sin = world.springs if has_s else None
+    n_colors = cap.joint_colors
 
     if on_tpu:
         def run(par):
-            return step_kernel_tpu(world.contacts, bp.nb, bp.key, bp.thr, b, par)
+            jv = _JView(*(getattr(jin, f) for f in _JFIELDS)) if has_j else None
+            sv = _SView(*(getattr(sin, f) for f in _SFIELDS)) if has_s else None
+            return step_kernel_tpu(
+                world.contacts, bp.nb, bp.key, bp.thr, b, jv, sv, par, n_colors
+            )
     else:
         def run(par):
             contacts, kept = collide_and_init_math(
                 world.contacts, bp.nb, bp.key, bp.thr, b, par
             )
-            bodies, lam, pen, stick, diag_v = solve_loop_math(contacts, b, par)
+            bodies, lam, pen, stick, diag_v, j_lam, j_pen, s_pen = solve_loop_math(
+                contacts, b, par, jin, sin, n_colors
+            )
             contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
-            return contacts, bodies, diag_v, kept
+            return contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen
 
     if params.lhs_rebuild_every > 1:
         # Speed-gated Hessian staleness (config.lhs_rebuild_every):
         # energetic steps take the fresh-LHS kernel variant.
-        contacts, bodies, diag_v, kept = lax.cond(
+        contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
             stale_lhs_ok(b, params),
             lambda _: run(params),
             lambda _: run(params.replace(lhs_rebuild_every=1)),
             operand=None,
         )
     else:
-        contacts, bodies, diag_v, kept = run(params)
+        contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(params)
     overflow = bp.cand - kept
+    joints = world.joints.replace(lam=j_lam, penalty=j_pen) if has_j else world.joints
+    springs = world.springs.replace(penalty=s_pen) if has_s else world.springs
 
     dv = diag_v[0]
     diag = Diagnostics(
@@ -702,6 +890,8 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
     return world.replace(
         bodies=bodies,
         contacts=contacts,
+        joints=joints,
+        springs=springs,
         step_index=world.step_index + 1,
         diagnostics=diag,
     )

@@ -178,10 +178,19 @@ class Joints:
 
     ``body_a == -1`` encodes a body-to-world joint (joint.cpp:41-60).
     ``stiffness_lin``/``stiffness_ang`` use +inf for hard rows (FLT_MAX in
-    the reference).  ``incidence``/``inc_side`` are the precomputed
-    body -> joint gather tables (joint topology is fixed per scene).
+    the reference).
+
+    Storage is two-level, like contacts: a dense per-joint table (the
+    build/tooling view) plus the REPLICATED body-major slot form both
+    backends compute in — each endpoint body owns one (DJ, G, 128) slot per
+    incident joint, all slot math is expressed in the joint's own A/B frame
+    (``side``), and both replicas produce bit-identical lam/penalty updates
+    with zero communication (same scheme as state.Contacts).  Joint
+    topology is static per scene, so everything but lam/penalty is
+    replicated once at build time.
     """
 
+    # --- dense per-joint view (build/tooling) ---
     body_a: Any         # (J,) int32, -1 = world
     body_b: Any         # (J,) int32
     r_a: Any            # (J, 3) local anchor on A (world anchor if body_a=-1)
@@ -191,20 +200,34 @@ class Joints:
     stiffness_ang: Any  # (J,)
     motor: Any          # (J, 6) per-row motor force, added to the primal
                         # force (solver.cpp:380); never nonzero upstream
-    lam: Any            # (J, 6)
-    penalty: Any        # (J, 6)
     active: Any         # (J,) bool
-    incidence: Any      # (N, DJ) int32 joint index or -1
-    inc_side: Any       # (N, DJ) int8 +1 if body is A, -1 if body is B
-    # (N,) int32 body color from greedy-coloring the joint adjacency graph.
-    # The primal pass solves colors sequentially (Gauss-Seidel across joint
-    # links, the reference's convergence structure, solver.cpp:344-409)
-    # while contacts stay Jacobi.  Bodies with no joints are color 0.
+    # --- replicated body-major slot form (the compute layout) ---
+    other: Any          # (DJ, G, 128) int32 partner body (-1 empty; own
+                        # index for body-world joints)
+    world: Any          # (DJ, G, 128) int32, 1 = the A side is the world
+    side: Any           # (DJ, G, 128) int32 +1 own body is A, -1 own is B
+    anchor_a: Any       # (3, DJ, G, 128) A-side local anchor (world point
+                        # when world=1)
+    anchor_b: Any       # (3, DJ, G, 128)
+    rest: Any           # (4, DJ, G, 128) rest relative quat
+    stiff_lin: Any      # (DJ, G, 128)
+    stiff_ang: Any      # (DJ, G, 128)
+    rmotor: Any         # (6, DJ, G, 128)
+    lam: Any            # (6, DJ, G, 128) dual state (replica-identical)
+    penalty: Any        # (6, DJ, G, 128)
+    # (G, 128) int32 body color from greedy-coloring the hard-joint
+    # adjacency graph.  The primal pass solves colors sequentially
+    # (Gauss-Seidel across stiff links, the reference's convergence
+    # structure, solver.cpp:344-409) while contacts stay Jacobi.
     color: Any
 
     @property
     def j(self) -> int:
         return self.body_b.shape[0]
+
+    @property
+    def dj(self) -> int:
+        return self.other.shape[0]
 
     def replace(self, **kw) -> "Joints":
         return dataclasses.replace(self, **kw)
@@ -212,6 +235,8 @@ class Joints:
 
 def empty_joints(n_bodies: int, max_joints: int = 0, degree: int = 0) -> Joints:
     j = max_joints
+    dj = degree
+    g = n_bodies // 128
     return Joints(
         body_a=jnp.full((j,), -1, jnp.int32),
         body_b=jnp.zeros((j,), jnp.int32),
@@ -221,35 +246,58 @@ def empty_joints(n_bodies: int, max_joints: int = 0, degree: int = 0) -> Joints:
         stiffness_lin=jnp.full((j,), jnp.inf, jnp.float32),
         stiffness_ang=jnp.full((j,), jnp.inf, jnp.float32),
         motor=jnp.zeros((j, 6), jnp.float32),
-        lam=jnp.zeros((j, 6), jnp.float32),
-        penalty=jnp.full((j, 6), 2.0e4, jnp.float32),
         active=jnp.zeros((j,), bool),
-        incidence=jnp.full((n_bodies, degree), -1, jnp.int32),
-        inc_side=jnp.zeros((n_bodies, degree), jnp.int8),
-        color=jnp.zeros((n_bodies,), jnp.int32),
+        other=jnp.full((dj, g, 128), -1, jnp.int32),
+        world=jnp.zeros((dj, g, 128), jnp.int32),
+        side=jnp.ones((dj, g, 128), jnp.int32),
+        anchor_a=jnp.zeros((3, dj, g, 128), jnp.float32),
+        anchor_b=jnp.zeros((3, dj, g, 128), jnp.float32),
+        rest=jnp.zeros((4, dj, g, 128), jnp.float32).at[3].set(1.0),
+        stiff_lin=jnp.full((dj, g, 128), jnp.inf, jnp.float32),
+        stiff_ang=jnp.full((dj, g, 128), jnp.inf, jnp.float32),
+        rmotor=jnp.zeros((6, dj, g, 128), jnp.float32),
+        lam=jnp.zeros((6, dj, g, 128), jnp.float32),
+        penalty=jnp.full((6, dj, g, 128), 2.0e4, jnp.float32),
+        color=jnp.zeros((g, 128), jnp.int32),
     )
 
 
 @_pytree
 @dataclasses.dataclass(frozen=True)
 class Springs:
-    """1-row distance constraints C = |pA - pB| - rest (spring.cpp:33-56)."""
+    """1-row distance constraints C = |pA - pB| - rest (spring.cpp:33-56).
 
+    Same two-level storage as Joints: dense build view + replicated
+    (DS, G, 128) body-major slots.  Springs are always soft, so the only
+    dynamic state is the per-row penalty (lambda is excluded from soft
+    rows' primal force and never dual-updated — solver.cpp:290-292, 379,
+    416-417)."""
+
+    # --- dense per-spring view ---
     body_a: Any         # (S,) int32, -1 = world anchor
     body_b: Any         # (S,) int32
     r_a: Any            # (S, 3)
     r_b: Any            # (S, 3)
     rest: Any           # (S,)
     stiffness: Any      # (S,)
-    lam: Any            # (S,)
-    penalty: Any        # (S,)
     active: Any         # (S,) bool
-    incidence: Any      # (N, DS) int32 spring index or -1
-    inc_side: Any       # (N, DS) int8
+    # --- replicated slot form ---
+    other: Any          # (DS, G, 128) int32 partner (-1 empty, own for world)
+    world: Any          # (DS, G, 128) int32, 1 = A side is a world anchor
+    side: Any           # (DS, G, 128) int32
+    anchor_a: Any       # (3, DS, G, 128)
+    anchor_b: Any       # (3, DS, G, 128)
+    rrest: Any          # (DS, G, 128)
+    rstiff: Any         # (DS, G, 128)
+    penalty: Any        # (DS, G, 128)
 
     @property
     def s(self) -> int:
         return self.body_b.shape[0]
+
+    @property
+    def ds(self) -> int:
+        return self.other.shape[0]
 
     def replace(self, **kw) -> "Springs":
         return dataclasses.replace(self, **kw)
@@ -257,6 +305,8 @@ class Springs:
 
 def empty_springs(n_bodies: int, max_springs: int = 0, degree: int = 0) -> Springs:
     s = max_springs
+    ds = degree
+    g = n_bodies // 128
     return Springs(
         body_a=jnp.full((s,), -1, jnp.int32),
         body_b=jnp.zeros((s,), jnp.int32),
@@ -264,11 +314,15 @@ def empty_springs(n_bodies: int, max_springs: int = 0, degree: int = 0) -> Sprin
         r_b=jnp.zeros((s, 3), jnp.float32),
         rest=jnp.zeros((s,), jnp.float32),
         stiffness=jnp.zeros((s,), jnp.float32),
-        lam=jnp.zeros((s,), jnp.float32),
-        penalty=jnp.full((s,), 2.0e4, jnp.float32),
         active=jnp.zeros((s,), bool),
-        incidence=jnp.full((n_bodies, degree), -1, jnp.int32),
-        inc_side=jnp.zeros((n_bodies, degree), jnp.int8),
+        other=jnp.full((ds, g, 128), -1, jnp.int32),
+        world=jnp.zeros((ds, g, 128), jnp.int32),
+        side=jnp.ones((ds, g, 128), jnp.int32),
+        anchor_a=jnp.zeros((3, ds, g, 128), jnp.float32),
+        anchor_b=jnp.zeros((3, ds, g, 128), jnp.float32),
+        rrest=jnp.zeros((ds, g, 128), jnp.float32),
+        rstiff=jnp.zeros((ds, g, 128), jnp.float32),
+        penalty=jnp.full((ds, g, 128), 2.0e4, jnp.float32),
     )
 
 

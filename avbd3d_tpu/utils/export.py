@@ -36,13 +36,27 @@ def _rot_from_quat(q):
     )
 
 
-def export_obj(path: str, world, n_real: int) -> None:
-    """Write all real bodies as oriented boxes to a Wavefront OBJ file."""
+def export_obj(path: str, world, n_real: int, overlay: bool = True) -> None:
+    """Write all real bodies as oriented boxes to a Wavefront OBJ file.
+
+    With ``overlay`` (default), also emits the reference's debug-draw
+    primitives as colored OBJ objects (materials in a sibling .mtl):
+    contact midpoints as small markers colored by stick state, red normal
+    rays, green joint lines, blue spring lines (manifold.cpp:273-307,
+    joint.cpp:141-161, spring.cpp:92-109)."""
+    from .overlay import (
+        COLOR_JOINT, COLOR_NORMAL, COLOR_SLIDE, COLOR_SPRING, COLOR_STICK,
+        contact_overlay, joint_overlay, spring_overlay,
+    )
+
     pos = np.asarray(world.bodies.pos_n3[:n_real])
     quat = np.asarray(world.bodies.quat_n4[:n_real])
     size = np.asarray(world.bodies._n3(world.bodies.size)[:n_real])
 
     lines = ["# avbd3d_tpu frame export"]
+    if overlay:
+        mtl_path = path.rsplit(".", 1)[0] + ".mtl"
+        lines.append(f"mtllib {mtl_path.rsplit('/', 1)[-1]}")
     base = 1
     for i in range(n_real):
         r = _rot_from_quat(quat[i])
@@ -53,6 +67,47 @@ def export_obj(path: str, world, n_real: int) -> None:
         for f in _FACES:
             lines.append("f " + " ".join(str(base + k - 1) for k in f))
         base += 8
+
+    if overlay:
+        mids, normals, sticks = contact_overlay(world)
+
+        def marker(center, half, mtl):
+            nonlocal base
+            lines.append(f"usemtl {mtl}")
+            for c in _CORNERS:
+                v = center + c * (2 * half)
+                lines.append(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}")
+            for f in _FACES:
+                lines.append("f " + " ".join(str(base + k - 1) for k in f))
+            base += 8
+
+        def segment(p0, p1, mtl):
+            nonlocal base
+            lines.append(f"usemtl {mtl}")
+            lines.append(f"v {p0[0]:.6f} {p0[1]:.6f} {p0[2]:.6f}")
+            lines.append(f"v {p1[0]:.6f} {p1[1]:.6f} {p1[2]:.6f}")
+            lines.append(f"l {base} {base + 1}")
+            base += 2
+
+        lines.append("o contacts")
+        for k in range(mids.shape[0]):
+            marker(mids[k], 0.03, "stick" if sticks[k] else "slide")
+            segment(mids[k], mids[k] + normals[k] * 0.5, "normal")
+        lines.append("o joints")
+        for (pa, pb) in joint_overlay(world):
+            segment(pa, pb, "joint")
+        lines.append("o springs")
+        for (pa, pb) in spring_overlay(world):
+            segment(pa, pb, "spring")
+
+        with open(mtl_path, "w") as fh:
+            for name, rgb in (
+                ("stick", COLOR_STICK), ("slide", COLOR_SLIDE),
+                ("normal", COLOR_NORMAL), ("joint", COLOR_JOINT),
+                ("spring", COLOR_SPRING),
+            ):
+                fh.write(f"newmtl {name}\nKd {rgb[0]} {rgb[1]} {rgb[2]}\n")
+
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

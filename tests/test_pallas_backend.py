@@ -91,6 +91,30 @@ def test_pallas_math_matches_xla_trajectory_two_block_drop():
         assert int(d.pair_overflow) == 0
 
 
+def test_pallas_math_matches_xla_trajectory_rod_jointed():
+    # Hard-weld chain with 2-color Gauss-Seidel sub-passes: smooth dynamics
+    # (no contacts), so the backends track to float precision.
+    wx, wp, drift = _run_pair("RodJointed", 30)
+    assert max(drift) < 1e-3, f"drift {max(drift):.2e}"
+    for w in (wx, wp):
+        d = jax.device_get(w.diagnostics)
+        assert int(d.sanitized) == 0
+
+
+def test_pallas_math_matches_xla_soft_grid_envelope():
+    # Soft-welded sheet: contact onset is chaotic (a 1e-6 perturbation on
+    # the SAME backend diverges to ~2.7 within 30 steps — measured), so
+    # parity is pre-contact tracking + behavioral envelope.
+    wx, wp, drift = _run_pair("SoftGrid", 40)
+    assert max(drift[:2]) < 1e-4, f"pre-contact drift {max(drift[:2]):.2e}"
+    for w in (wx, wp):
+        d = jax.device_get(w.diagnostics)
+        assert int(d.sanitized) == 0
+        pos = np.asarray(w.bodies.pos_n3)
+        n_real = int(np.asarray(w.bodies.dynamic).sum()) + 1
+        assert np.all(np.abs(pos[:n_real]) < 25.0)
+
+
 def test_pallas_math_matches_xla_trajectory_stack():
     wx, wp, drift = _run_pair("Stack", 80)
     assert max(drift[:30]) < 2e-3, f"early drift {max(drift[:30]):.2e}"
