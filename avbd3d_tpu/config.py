@@ -139,8 +139,9 @@ class Capacity:
     # Number of colors in the joint-graph coloring (1 = no joints; the
     # primal pass runs one Gauss-Seidel sub-pass per color).
     joint_colors: int = 1
-    # 'auto': Pallas mega-kernels on TPU for contact-only scenes <= 1024
-    # bodies, portable XLA otherwise.  'xla' / 'pallas' force a backend.
+    # 'auto': fused Pallas kernel on TPU up to 2048 bodies, gridded Pallas
+    # (contact-only) up to 16384, portable XLA otherwise.  'xla' /
+    # 'pallas' / 'grid' force a backend.
     backend: str = "auto"
 
     def replace(self, **kw) -> "Capacity":

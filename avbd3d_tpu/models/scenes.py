@@ -100,8 +100,13 @@ class SceneBuilder:
     def build(self, params: SolverParams, max_degree=None) -> tuple:
         n_real = len(self.size)
         # Pad body count to a multiple of 128 (one full TPU lane group; the
-        # replicated contact cache keys bodies as (group, lane)).
+        # replicated contact cache keys bodies as (group, lane)).  Above the
+        # monolithic-kernel ceiling the gridded backend blocks G in chunks
+        # of 8 sublanes (a Pallas block-shape requirement), so pad to a
+        # multiple of 1024 bodies there.
         n = max(128, -(-max(n_real, 1) // 128) * 128)
+        if n > 2048:
+            n = -(-n // 1024) * 1024
         pad = n - n_real
 
         size = np.asarray(self.size + [[0.0] * 3] * pad, np.float32).reshape(n, 3)

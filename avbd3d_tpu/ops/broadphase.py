@@ -179,22 +179,27 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
     )
 
 
-def symmetric_filter(nb, key, thr, dynamic_g, gather):
+def symmetric_filter(nb, key, thr, dynamic_g, gather, own_iota=None, n_total=None):
     """Drop directed slots whose dynamic partner did not keep the pair.
 
     All operands component-major: nb/key (D, G, 128), thr/dynamic_g
     (G, 128).  ``gather(table_g128, idx_dg128)`` is the backend's gather
     strategy (xla_gather on the portable path, select_gather inside Mosaic).
+    The grid backend passes blocked nb/key with full thr/dynamic tables plus
+    ``own_iota`` (global indices of the block's bodies) and ``n_total``.
     Returns (filtered nb, kept directed-slot count).
     """
     d, g, _ = nb.shape
-    n = g * 128
+    n = n_total if n_total is not None else g * 128
     valid = nb >= 0
     idx = jnp.where(valid, nb, 0)
-    own = (
-        lax.broadcasted_iota(jnp.int32, (d, g, 128), 1) * 128
-        + lax.broadcasted_iota(jnp.int32, (d, g, 128), 2)
-    )
+    if own_iota is None:
+        own = (
+            lax.broadcasted_iota(jnp.int32, (d, g, 128), 1) * 128
+            + lax.broadcasted_iota(jnp.int32, (d, g, 128), 2)
+        )
+    else:
+        own = jnp.broadcast_to(own_iota[None], (d, g, 128))
     # My key in the partner's row: same quantized distance digit (d2 is
     # bit-symmetric, so the quantization matches exactly), my index as the
     # tie-break digit.

@@ -87,22 +87,27 @@ def canonical_select(is_a, own, other):
     return a, b
 
 
-def pair_frames(cache_other, body, gather):
+def pair_frames(cache_other, body, gather, own_iota=None, table=None):
     """Gather neighbor state and build canonical A/B frames.
 
     ``body``: dict of (G, 128) component arrays (pos 3, quat 4, half 3,
-    inv_mass, friction).  Returns canonical frame dict; all entries shaped
-    (D, G, 128)."""
+    inv_mass, friction) for the bodies OWNING the slots; ``table`` (default
+    ``body``) is the dict gathers read partner state from — the grid
+    backend passes a G-group block as ``body`` and the full table here.
+    ``own_iota``: (G, 128) global body indices of the owning bodies
+    (defaults to 0..G*128-1).  Returns canonical frame dict; all entries
+    shaped (D, G, 128)."""
     d, g, _ = cache_other.shape
+    table = body if table is None else table
     valid = cache_other >= 0
     idx = jnp.where(valid, cache_other, 0)
-    own_n = body_iota(g)[None]
+    own_n = (body_iota(g) if own_iota is None else own_iota)[None]
     is_a = own_n < idx
 
     own_pos = tuple(c[None] for c in body["pos"])
     own_quat = tuple(c[None] for c in body["quat"])
-    oth_pos = gather_comps(body["pos"], idx, gather)
-    oth_quat = gather_comps(body["quat"], idx, gather)
+    oth_pos = gather_comps(table["pos"], idx, gather)
+    oth_quat = gather_comps(table["quat"], idx, gather)
 
     pa, pb = canonical_select(is_a, own_pos, oth_pos)
     qa, qb = canonical_select(is_a, own_quat, oth_quat)
@@ -114,14 +119,15 @@ def pair_frames(cache_other, body, gather):
     }
 
 
-def pair_constants(cache_other, body, gather):
+def pair_constants(cache_other, body, gather, table=None):
     """Pair-static scalars: friction mu = sqrt(muA muB) (manifold.cpp:73) and
     the normal-cap mass scale (manifold.cpp:199-204).  Symmetric in the two
     bodies, hence replica-identical by construction."""
+    table = body if table is None else table
     valid = cache_other >= 0
     idx = jnp.where(valid, cache_other, 0)
-    oth_fric = gather(body["friction"], idx)
-    oth_invm = gather(body["inv_mass"], idx)
+    oth_fric = gather(table["friction"], idx)
+    oth_invm = gather(table["inv_mass"], idx)
     mu = jnp.sqrt(body["friction"][None] * oth_fric)
     inv_sum = body["inv_mass"][None] + oth_invm
     mass_scale = jnp.where(inv_sum > 1.0e-6, 1.0 / jnp.maximum(inv_sum, 1.0e-6), 1.0)
@@ -132,24 +138,27 @@ def pair_constants(cache_other, body, gather):
 # Phase 2: narrowphase + cross-step match + warmstart init
 # ---------------------------------------------------------------------------
 
-def collide_and_init(old: Contacts, neighbors, body, params, gather) -> Contacts:
+def collide_and_init(old: Contacts, neighbors, body, params, gather,
+                     own_iota=None, table=None) -> Contacts:
     """Replicated narrowphase + warmstart transfer (manifold.cpp:71-175,
     solver.cpp:281-293).
 
     ``neighbors`` (D, G, 128): new per-body neighbor indices (-1 empty),
     evaluated at the pre-prediction poses.  Cross-step pair matching is a
     D x D_old masked compare *within each body's own slots* — no global
-    merge needed because the cache is body-local.
+    merge needed because the cache is body-local.  ``own_iota``/``table``:
+    grid-backend blocking, see pair_frames.
     """
     from .narrowphase_cm import collide_pairs_cm
 
     d_new, g, _ = neighbors.shape
-    frames = pair_frames(neighbors, body, gather)
+    table = body if table is None else table
+    frames = pair_frames(neighbors, body, gather, own_iota, table)
     valid = frames["valid"]
     is_a = frames["is_a"]
 
     own_half = tuple(c[None] for c in body["half"])
-    oth_half = gather_comps(body["half"], frames["idx"], gather)
+    oth_half = gather_comps(table["half"], frames["idx"], gather)
     ha, hb = canonical_select(is_a, own_half, oth_half)
 
     geom = collide_pairs_cm(
@@ -331,13 +340,13 @@ def _contact_basis(normal):
 # Iteration-loop row math
 # ---------------------------------------------------------------------------
 
-def geometry_static(cache: Contacts, consts):
+def geometry_static(cache: Contacts, consts, own_iota=None):
     """Loop-invariant geometry: contact basis (fixed per step once the
     manifold normal is set, manifold.cpp:160-161), slot masks, canonical
     side flags.  Hoisted out of the solver iterations."""
     idx = consts["idx"]
     valid = consts["valid"]
-    g = body_iota(cache.other.shape[1])[None]
+    g = (body_iota(cache.other.shape[1]) if own_iota is None else own_iota)[None]
     return {
         "basis": _contact_basis((cache.normal[0], cache.normal[1], cache.normal[2])),
         "is_a": g < idx,
@@ -345,18 +354,21 @@ def geometry_static(cache: Contacts, consts):
     }
 
 
-def geometry_pose(cache: Contacts, static, body_pose, consts, gather):
+def geometry_pose(cache: Contacts, static, body_pose, consts, gather,
+                  table_pose=None):
     """Pose-dependent geometry per slot (manifold.cpp:184-196): world lever
     arms and raw separation/slips.  ``body_pose``: dict with 'pos' (3 comps)
-    and 'quat' (4 comps), (G, 128)."""
+    and 'quat' (4 comps), (G, 128); ``table_pose`` is the gather table
+    (defaults to ``body_pose`` — grid backend passes the full table)."""
+    table_pose = body_pose if table_pose is None else table_pose
     idx = consts["idx"]
     is_a = static["is_a"]
     n_unit, t1, t2 = static["basis"]
 
     own_pos = tuple(c[None] for c in body_pose["pos"])
     own_quat = tuple(c[None] for c in body_pose["quat"])
-    oth_pos = gather_comps(body_pose["pos"], idx, gather)
-    oth_quat = gather_comps(body_pose["quat"], idx, gather)
+    oth_pos = gather_comps(table_pose["pos"], idx, gather)
+    oth_quat = gather_comps(table_pose["quat"], idx, gather)
     pa, pb = canonical_select(is_a, own_pos, oth_pos)
     qa, qb = canonical_select(is_a, own_quat, oth_quat)
 

@@ -269,6 +269,26 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         from . import solver_tpu
 
         return solver_tpu.step_pallas(world, params, cap)
+    # Large-N tier: gridded kernels (one pallas launch per solver iteration,
+    # per-block programs small enough for the Mosaic compiler).  Contact-only.
+    supports_grid = (
+        world.bodies.n <= 16384
+        and world.bodies.g % 8 == 0
+        and world.joints.dj == 0
+        and world.springs.ds == 0
+    )
+    if cap.backend == "grid" and not supports_grid:
+        raise ValueError(
+            "backend='grid' needs a contact-only scene with <= 16384 bodies "
+            f"and G % 8 == 0 (n={world.bodies.n}, G={world.bodies.g})"
+        )
+    if supports_grid and (
+        cap.backend == "grid"
+        or (cap.backend == "auto" and jax.default_backend() == "tpu")
+    ):
+        from . import solver_tpu
+
+        return solver_tpu.step_grid(world, params, cap)
     return _step_impl(world, params, cap, rep.xla_gather)
 
 

@@ -895,3 +895,466 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         step_index=world.step_index + 1,
         diagnostics=diag,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gridded large-N backend (2048 < N): the same physics with the kernels
+# blocked over body groups.
+#
+# The monolithic fused kernel keeps every (D, G, 128) array in one program;
+# this environment's Mosaic compile helper is OOM-killed once G reaches 33
+# (4224 bodies) — the compiler, not VMEM, is the ceiling.  Here each
+# pallas_call grids over blocks of GB groups: per-program shapes are
+# (D, GB, 128) (small, compiles like the proven G<=16 programs) while the
+# cross-body pose gathers read FULL (G, 128) tables passed unblocked.
+#
+# Kernel A grids trivially (narrowphase/match are body-local).  The solver
+# loop cannot stay in one program (every iteration needs every block's
+# updated poses), so each iteration is one gridded launch inside a
+# lax.scan, with the carry (poses, lam/pen/stick, geometry, cached
+# Hessian) in HBM.  Prediction and finalize reuse the portable XLA
+# implementations (solver.predict / solver.finalize) — they are cheap
+# elementwise stages.  Contact-only for now: scenes with joints/springs
+# above 2048 bodies take the XLA path.
+# ---------------------------------------------------------------------------
+
+_CACHE_BLOCK_FIELDS = (
+    "other", "count", "feature", "r_a", "r_b", "normal",
+    "stick", "c0_n", "c0_t1", "c0_t2", "lam", "penalty",
+)
+
+
+def _blk_spec(shape, gb):
+    """BlockSpec blocking the G axis (always third-from-last) of a
+    replicated array; all other axes whole."""
+    g_ax = len(shape) - 2
+    blk = tuple(gb if a == g_ax else s for a, s in enumerate(shape))
+
+    def imap(i):
+        return tuple(i if a == g_ax else 0 for a in range(len(shape)))
+
+    return pl.BlockSpec(blk, imap)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+
+def _block_iota(pid, gb):
+    """(GB, 128) global body indices of grid block ``pid``."""
+    return (
+        (pid * gb + lax.broadcasted_iota(jnp.int32, (gb, 128), 0)) * 128
+        + lax.broadcasted_iota(jnp.int32, (gb, 128), 1)
+    )
+
+
+def _pick_gb(g):
+    """Per-program group count: the largest multiple-of-8 divisor of G that
+    is <= 16 (Pallas block shapes need the sublane dim divisible by 8;
+    scenes above 2048 bodies are padded so G is a multiple of 8)."""
+    for gb in (16, 8):
+        if g % gb == 0:
+            return gb
+    raise ValueError(f"grid backend needs G divisible by 8, got G={g}")
+
+
+def _make_kernel_a_grid(params: SolverParams, gb: int, n_total: int):
+    from .ops.broadphase import symmetric_filter
+
+    def kernel(*refs):
+        pid = pl.program_id(0)
+        own_iota = _block_iota(pid, gb)
+        old = _read_cache(refs[:12])
+        nb_blk = refs[12][:]
+        keys_blk = refs[13][:]
+        (pos_b, quat_b, size_b, invm_b, fric_b) = [r[:] for r in refs[14:19]]
+        thr_full = refs[19][:]
+        (pos_t, quat_t, size_t, invm_t, fric_t) = [r[:] for r in refs[20:25]]
+        out_refs = refs[25:]
+
+        body = {
+            "pos": tuple(pos_b[k] for k in range(3)),
+            "quat": tuple(quat_b[k] for k in range(4)),
+            "half": tuple(size_b[k] * 0.5 for k in range(3)),
+            "inv_mass": invm_b,
+            "friction": fric_b,
+        }
+        table = {
+            "pos": tuple(pos_t[k] for k in range(3)),
+            "quat": tuple(quat_t[k] for k in range(4)),
+            "half": tuple(size_t[k] * 0.5 for k in range(3)),
+            "inv_mass": invm_t,
+            "friction": fric_t,
+        }
+        neighbors, _ = symmetric_filter(
+            nb_blk, keys_blk, thr_full, invm_t > 0.0, rep.select_gather,
+            own_iota, n_total,
+        )
+        new = rep.collide_and_init(
+            old, neighbors, body, params, rep.select_gather, own_iota, table
+        )
+        # Pair dedup mask for diagnostics counting (one replica per pair).
+        valid = new.other >= 0
+        idx = jnp.where(valid, new.other, 0)
+        other_dyn = rep.select_gather(
+            (invm_t > 0.0).astype(jnp.float32), idx
+        ) > 0.5
+        once = valid & ((own_iota[None] < idx) | ~other_dyn)
+
+        vals = _cache_to_args(new) + [
+            (neighbors >= 0).astype(jnp.float32),
+            once.astype(jnp.float32),
+        ]
+        for ref, val in zip(out_refs, vals):
+            ref[:] = val
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
+                          params: SolverParams):
+    """Gridded kernel A.  Returns (contacts, keptmask, once)."""
+    d, g, _ = nb_raw.shape
+    gb = _pick_gb(g)
+    cache_args = _cache_to_args(old)
+    in_args = cache_args + [nb_raw, keys, b.pos, b.quat, b.size, b.inv_mass,
+                            b.friction, thr, b.pos, b.quat, b.size,
+                            b.inv_mass, b.friction]
+    in_specs = (
+        [_blk_spec(a.shape, gb) for a in cache_args]
+        + [_blk_spec(nb_raw.shape, gb), _blk_spec(keys.shape, gb)]
+        + [_blk_spec(b.pos.shape, gb), _blk_spec(b.quat.shape, gb),
+           _blk_spec(b.size.shape, gb), _blk_spec(b.inv_mass.shape, gb),
+           _blk_spec(b.friction.shape, gb)]
+        + [_full_spec(thr.shape), _full_spec(b.pos.shape),
+           _full_spec(b.quat.shape), _full_spec(b.size.shape),
+           _full_spec(b.inv_mass.shape), _full_spec(b.friction.shape)]
+    )
+    shp = jax.ShapeDtypeStruct
+    out_shape = [shp(a.shape, a.dtype) for a in cache_args] + [
+        shp((d, g, 128), jnp.float32),   # keptmask
+        shp((d, g, 128), jnp.float32),   # once
+    ]
+    out_specs = [_blk_spec(s.shape, gb) for s in out_shape]
+    outs = pl.pallas_call(
+        _make_kernel_a_grid(params, gb, g * 128),
+        grid=(g // gb,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(*in_args)
+    return _args_to_cache(outs[:12]), outs[12], outs[13] > 0.5
+
+
+def _iter_grid_math(params, cache, consts, static, own_iota, pos, quat,
+                    geom36, mat24, lam, pen, stick_f, table_pose, body_const,
+                    ip, iq, alpha_cur, do_dual, rebuild, ramp_pen,
+                    first, gather):
+    """One solver iteration for one body block (contact-only grid path).
+
+    Mirrors _kernel_b_math.one_iteration with the geometry/Hessian carried
+    as stacked arrays and the partner poses gathered from the full table.
+    """
+    dt = params.dt
+    inv_dt2 = 1.0 / (dt * dt)
+    relax = params.relaxation
+    mass = body_const["mass"]
+    inertia = body_const["inertia"]
+    inv_inertia = body_const["inv_inertia"]
+    dyn = body_const["inv_mass"] > 0.0
+    dynf = dyn.astype(jnp.float32)
+
+    def unflat_geom(t):
+        rw_a = [tuple(t[s * 6 + k] for k in range(3)) for s in range(4)]
+        rw_b = [tuple(t[s * 6 + 3 + k] for k in range(3)) for s in range(4)]
+        return {
+            "basis": static["basis"],
+            "rw_a": rw_a,
+            "rw_b": rw_b,
+            "sep": [t[24 + s] for s in range(4)],
+            "slip1": [t[28 + s] for s in range(4)],
+            "slip2": [t[32 + s] for s in range(4)],
+            "is_a": static["is_a"],
+            "slot_ok": static["slot_ok"],
+        }
+
+    def flat_geom(gm):
+        out = []
+        for s in range(4):
+            out.extend(gm["rw_a"][s])
+            out.extend(gm["rw_b"][s])
+        out.extend(gm["sep"])
+        out.extend(gm["slip1"])
+        out.extend(gm["slip2"])
+        return jnp.stack(out)
+
+    def geom_at(p, q):
+        return rep.geometry_pose(
+            cache, static, {"pos": p, "quat": q}, consts, gather, table_pose
+        )
+
+    if first:
+        geom = geom_at(pos, quat)
+    else:
+        geom = unflat_geom(geom36)
+    stick = stick_f > 0.5
+
+    rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
+    f = rep.primal_force(rows, pen)
+
+    iw = _world_inertia_comps(quat, inertia)
+    if rebuild:
+        iiw = _world_inertia_comps(quat, inv_inertia)
+        m = rep.body_matrix(geom, f, pen, iiw)
+        mat24 = jnp.stack(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+    m_ll = [mat24[k] for k in range(6)]
+    m_la = [mat24[6 + k] for k in range(9)]
+    m_aa = [mat24[15 + k] for k in range(6)]
+    gyro = [mat24[21 + k] for k in range(3)]
+    forces = rep.body_forces(geom, f)
+
+    rhs_l = tuple(
+        mass * (pos[k] - ip[k]) * inv_dt2 + forces["F"][k] for k in range(3)
+    )
+    q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
+    sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
+    rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
+    rhs_a = (
+        (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
+        (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
+        (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
+    )
+    m_dt2 = mass * inv_dt2
+    a_ll = (
+        m_ll[0] + m_dt2, m_ll[1], m_ll[2],
+        m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
+    )
+    a_aa = (
+        m_aa[0] + iw[0] * inv_dt2 + gyro[0],
+        m_aa[1] + iw[1] * inv_dt2,
+        m_aa[2] + iw[2] * inv_dt2,
+        m_aa[3] + iw[3] * inv_dt2 + gyro[1],
+        m_aa[4] + iw[4] * inv_dt2,
+        m_aa[5] + iw[5] * inv_dt2 + gyro[2],
+    )
+    dl, da = solve66_cm(a_ll, tuple(m_la), a_aa, rhs_l, rhs_a)
+
+    new_pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
+    dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
+                   jnp.zeros_like(da[0])), quat)
+    nq = _q_normalize(tuple(quat[k] - 0.5 * dq[k] for k in range(4)))
+    nq = tuple(jnp.where(dyn, nq[k], quat[k]) for k in range(4))
+
+    # Dual at the post-primal poses.  NOTE: within this launch only this
+    # block's poses moved; geom2 sees other blocks at iteration-start poses
+    # (block-Jacobi across blocks — the contact rows are Jacobi anyway, and
+    # the carried geom2 is refreshed from the NEW full table at the next
+    # launch, so the next primal is exact).
+    geom2 = geom_at(new_pos, nq)
+    rows2 = rep.eval_rows(
+        geom2, cache, consts, jnp.stack(rows["lam"]), pen,
+        jnp.stack(rows["stick"]), alpha_cur, params,
+    )
+    lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
+    dd = do_dual > 0.5
+    lam = jnp.where(dd, lam2, jnp.stack(rows2["lam"]))
+    if ramp_pen:
+        pen = jnp.where(dd, pen2, pen)
+    stick = cm.bwhere(dd, stick2, jnp.stack(rows2["stick"]))
+    return (jnp.stack(new_pos), jnp.stack(nq), lam, pen,
+            stick.astype(jnp.float32), flat_geom(geom2), mat24)
+
+
+def _make_kernel_iter_grid(params: SolverParams, gb: int, rebuild: bool,
+                           ramp_pen: bool, first: bool):
+    def kernel(*refs):
+        pid = pl.program_id(0)
+        own_iota = _block_iota(pid, gb)
+        cache = _read_cache(refs[:12])
+        (pos_b, quat_b, lam_r, pen_r, stick_r, geom_r, mat_r,
+         mass_r, invm_r, fric_r, inertia_r, inv_inertia_r,
+         ip_r, iq_r) = refs[12:26]
+        scal_r, pos_t, quat_t, invm_t, fric_t = refs[26:31]
+        out_refs = refs[31:]
+
+        pos = tuple(pos_b[k] for k in range(3))
+        quat = tuple(quat_b[k] for k in range(4))
+        body_const = {
+            "mass": mass_r[:],
+            "inv_mass": invm_r[:],
+            "inertia": tuple(inertia_r[k] for k in range(3)),
+            "inv_inertia": tuple(inv_inertia_r[k] for k in range(3)),
+        }
+        consts = rep.pair_constants(
+            cache.other,
+            {"friction": fric_r[:], "inv_mass": invm_r[:]},
+            rep.select_gather,
+            {"friction": fric_t[:], "inv_mass": invm_t[:]},
+        )
+        static = rep.geometry_static(cache, consts, own_iota)
+        table_pose = {
+            "pos": tuple(pos_t[k] for k in range(3)),
+            "quat": tuple(quat_t[k] for k in range(4)),
+        }
+        ip = tuple(ip_r[k] for k in range(3))
+        iq = tuple(iq_r[k] for k in range(4))
+        alpha = scal_r[0]       # (128,) broadcast over trailing lanes
+        do_dual = scal_r[1]
+        outs = _iter_grid_math(
+            params, cache, consts, static, own_iota, pos, quat,
+            geom_r[:], mat_r[:], lam_r[:], pen_r[:], stick_r[:],
+            table_pose, body_const, ip, iq, alpha, do_dual,
+            rebuild, ramp_pen, first, rep.select_gather,
+        )
+        for ref, val in zip(out_refs, outs):
+            ref[:] = val
+
+    return kernel
+
+
+def _iter_grid_call(params, gb, rebuild, ramp_pen, first, contacts, b,
+                    pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal):
+    d, g, _ = contacts.other.shape
+    cache_args = _cache_to_args(contacts)
+    in_args = cache_args + [
+        pos, quat, lam, pen, stickf, geom36, mat24,
+        b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia, ip, iq,
+        scal, pos, quat, b.inv_mass, b.friction,
+    ]
+    in_specs = (
+        [_blk_spec(a.shape, gb) for a in cache_args]
+        + [_blk_spec(a.shape, gb) for a in in_args[12:26]]
+        + [_full_spec(scal.shape), _full_spec(pos.shape),
+           _full_spec(quat.shape), _full_spec(b.inv_mass.shape),
+           _full_spec(b.friction.shape)]
+    )
+    shp = jax.ShapeDtypeStruct
+    out_shape = [
+        shp((3, g, 128), jnp.float32),       # pos
+        shp((4, g, 128), jnp.float32),       # quat
+        shp(lam.shape, jnp.float32),
+        shp(pen.shape, jnp.float32),
+        shp(stickf.shape, jnp.float32),
+        shp(geom36.shape, jnp.float32),
+        shp(mat24.shape, jnp.float32),
+    ]
+    out_specs = [_blk_spec(s.shape, gb) for s in out_shape]
+    return pl.pallas_call(
+        _make_kernel_iter_grid(params, gb, rebuild, ramp_pen, first),
+        grid=(g // gb,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(*in_args)
+
+
+def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
+    """Large-N step: gridded kernel A + one gridded launch per solver
+    iteration, prediction/finalize reusing the portable XLA stages.
+    Contact-only (the dispatcher routes big jointed scenes to XLA)."""
+    from .ops.broadphase import refresh_or_reuse
+    from .solver import (
+        _sanitize, finalize, predict, stale_lhs_ok,
+    )
+
+    b = world.bodies
+    g = b.g
+    n = b.n
+    gb = _pick_gb(g)
+    d = cap.max_degree
+
+    bp = refresh_or_reuse(
+        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
+        cap.max_degree, params.bp_margin,
+    )
+    world = world.replace(bp=bp)
+    contacts, keptmask, once = collide_and_init_grid(
+        world.contacts, bp.nb, bp.key, bp.thr, b, params
+    )
+    overflow = bp.cand - jnp.sum(keptmask).astype(jnp.int32)
+
+    # Phase 3 (XLA, elementwise): reuse the portable prediction.
+    linvel, angvel, inertial_pos, inertial_quat, pos_start, quat_start, sanitized = predict(b, params)
+    pos0 = b.pos_n3
+    quat0 = b.quat_n4
+
+    def to_cg(a):  # (N, C) -> (C, G, 128)
+        return jnp.moveaxis(a, 0, 1).reshape(a.shape[1], g, 128)
+
+    ip = to_cg(inertial_pos)
+    iq = to_cg(inertial_quat)
+    ps = to_cg(pos_start)
+    qs = to_cg(quat_start)
+
+    total_iters = params.iterations + (1 if params.post_stabilize else 0)
+
+    def scal_for(it):
+        # ``it`` is a Python int (the launch sequence is unrolled), so the
+        # alpha / do-dual selectors are compile-time scalars.
+        if params.post_stabilize:
+            alpha = 1.0 if it < params.iterations else 0.0
+        else:
+            alpha = float(params.alpha)
+        dd = 1.0 if it < params.iterations else 0.0
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        return (jnp.where(row == 0, alpha, 0.0)
+                + jnp.where(row == 1, dd, 0.0)).astype(jnp.float32)
+
+    zgeom = jnp.zeros((36, d, g, 128), jnp.float32)
+    zmat = jnp.zeros((24, g, 128), jnp.float32)
+    carry0 = (ps, qs, contacts.lam, contacts.penalty,
+              contacts.stick.astype(jnp.float32), zgeom, zmat)
+
+    def run_iters(k_re):
+        # Fully unrolled: total_iters gridded launches in the step graph
+        # (the per-iteration programs are shared across launches, so only a
+        # handful of kernel variants actually compile).
+        blocks, tail = divmod(total_iters, k_re)
+        flags = []
+        for _bi in range(blocks):
+            for j in range(k_re):
+                flags.append((j == 0, j == k_re - 1))
+        for j in range(tail):
+            flags.append((j == 0, j == tail - 1))
+
+        c = carry0
+        for it, (rebuild, ramp) in enumerate(flags):
+            pos, quat, lam, pen, stickf, geom36, mat24 = c
+            c = tuple(_iter_grid_call(
+                params, gb, rebuild, ramp, it == 0, contacts, b,
+                pos, quat, lam, pen, stickf, geom36, mat24, ip, iq,
+                scal_for(it),
+            ))
+        return c
+
+    k_re = max(1, params.lhs_rebuild_every)
+    if k_re > 1:
+        carry = lax.cond(
+            stale_lhs_ok(b, params),
+            lambda _: run_iters(k_re),
+            lambda _: run_iters(1),
+            operand=None,
+        )
+    else:
+        carry = run_iters(1)
+    pos_cg, quat_cg, lam, pen, stickf, geom36, _mat = carry
+
+    def to_n(a):  # (C, G, 128) -> (N, C)
+        return jnp.moveaxis(a.reshape(a.shape[0], n), 0, 1)
+
+    pos_f, sanitized = _sanitize(to_n(pos_cg), pos0, sanitized)
+    quat_f, sanitized = _sanitize(to_n(quat_cg), quat0, sanitized)
+
+    contacts = contacts.replace(lam=lam, penalty=pen, stick=stickf > 0.5)
+    sep_slots = geom36[24:28]
+
+    return finalize(
+        world, b, contacts, world.joints, world.springs, pos_f, quat_f,
+        pos0, quat0, linvel, angvel, lam, sep_slots, once, overflow,
+        sanitized, params,
+    )
