@@ -170,6 +170,37 @@ def main():
             f.write("Generated by `tools/compare_with_reference.py --trace "
                     f"--report {report_path}`.\n\n")
             f.write("\n".join(lines) + "\n")
+            f.write(DEVIATIONS)
+
+
+DEVIATIONS = """
+## Documented deviations (deliberate, measured)
+
+- **Hard joints are penalty-only by default** (`config.joint_dual_rate=0`),
+  diverging from the reference's per-iteration dual ascent on hard rows
+  (solver.cpp:411-429).  Measured rationale (PERF_NOTES.md): on a hard-weld
+  chain the Jacobi primal never converges C within a step, so dual ascent
+  integrates unconverged residual and pumps energy at ANY rate tested
+  (0.05-1.5x) — and the REFERENCE ITSELF diverges to NaN on its own rod
+  scene (reproduced via the `ref_rod` oracle; its joints ship commented
+  out as "WIP").  Penalty-only holds anchor drift to ~8e-4 under dynamic
+  load.  Consequence for downstream users: joint `lambda` does not
+  converge to the constraint force; constraint accuracy comes from the
+  penalty equilibrium instead.  Isolated (non-chained) joints are stable
+  under ascent, so the knob remains available.
+- **Spring geometric-stiffness Hessian `H_ll` is not computed.**  The
+  reference computes it every call and never consumes it (spring.cpp:46-55,
+  87-89); see ops/springs.py:11-14.
+- **Contact-row `motor` is not carried.**  The reference adds
+  `rows[i].motor` into the primal force for every row incl. manifold rows
+  (solver.cpp:380) but nothing in the codebase ever sets it nonzero for
+  contacts; this engine carries motor only for joint rows
+  (ops/joints.py `rmotor`).  `fracture` (solver.h:97) is likewise
+  allocated-but-never-read upstream and is not carried at all.
+- **Jacobi primal with relaxation 0.85** vs the reference's Gauss-Seidel
+  body sweep (solver.cpp:344-409): trajectories diverge at contact-chaos
+  onset; parity is behavioral (envelopes above), per SURVEY.md section 7.
+"""
 
 
 if __name__ == "__main__":
