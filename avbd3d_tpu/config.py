@@ -105,6 +105,14 @@ class SolverParams:
     # max-displacement gates above and disable every slow-regime
     # optimization.  Set very negative to disable.
     fall_freeze_y: float = -100.0
+    # Ballistic fast path: when the previous step had zero contacts and
+    # the broadphase probe proves narrowphase yields none at the current
+    # poses (every candidate sphere gap > collision_margin, no capacity
+    # drop), the step result is exactly the inertial target and the
+    # iterative solve is skipped (solver._ballistic_step).  Exact — the
+    # primal with zero rows converges to the inertial pose — and gated on
+    # prev-contacts==0 so the settled hot path never pays the probe.
+    ballistic: bool = True
     # Rate on the hard-joint dual ascent (lambda += rate*penalty*C each
     # iteration; the reference uses rate 1).  Default 0 = penalty-only.
     # Measured behavior on a 14-link hard-weld chain (RodJointed): the

@@ -97,14 +97,16 @@ class SceneBuilder:
         self.ignores.append((a, b))
 
     # ------------------------------------------------------------------
-    def build(self, params: SolverParams, max_degree=None) -> tuple:
+    def build(self, params: SolverParams, max_degree=None,
+              min_bodies: int = 0) -> tuple:
         n_real = len(self.size)
         # Pad body count to a multiple of 128 (one full TPU lane group; the
         # replicated contact cache keys bodies as (group, lane)).  Above the
         # monolithic-kernel ceiling the gridded backend blocks G in chunks
         # of 8 sublanes (a Pallas block-shape requirement), so pad to a
-        # multiple of 1024 bodies there.
-        n = max(128, -(-max(n_real, 1) // 128) * 128)
+        # multiple of 1024 bodies there.  ``min_bodies`` forces extra
+        # padding capacity (live spawning, grid-tier tests).
+        n = max(128, min_bodies, -(-max(n_real, 1) // 128) * 128)
         if n > 2048:
             n = -(-n // 1024) * 1024
         pad = n - n_real
@@ -524,10 +526,11 @@ def scene_stress2048():
 
 
 def scene_stress4096():
-    """16x16x16 = 4096 cubes.  Above the Pallas path's Mosaic-compile
-    ceiling in this environment (the TPU compile helper is OOM-killed at
-    G=33 groups even for a single kernel), so this runs the portable XLA
-    backend — correct but gather-bound."""
+    """16x16x16 = 4096 cubes.  Above the fused Pallas kernel's
+    Mosaic-compile ceiling in this environment (the TPU compile helper is
+    OOM-killed at G=33 groups even for a single kernel), so on TPU this
+    runs the gridded Pallas tier (solver_tpu.step_grid: kernels blocked
+    over body groups, one launch per solver iteration)."""
     return _scene_stress_n(16, 16, 16)
 
 

@@ -59,17 +59,32 @@ class BroadphaseCache:
 
     Candidate selection is run with the sphere radii enlarged by
     ``params.bp_margin``; the lists then remain an exact superset of all
-    truly-overlapping pairs until some body has moved more than margin/2
-    from its anchor — so in slow regimes (a settled pile) the O(N^2) + top_k
-    stage amortizes to near zero while narrowphase always sees fresh
-    positions.  The whole bundle refreshes atomically, keeping the
-    symmetric-filter threshold test consistent."""
+    truly-overlapping pairs while BOTH of these hold (checked in
+    ``refresh_or_reuse``):
+
+    1. every moved body is within margin/2 of anchor + t, where t is any
+       common translation (we use the mean displacement of moved bodies) —
+       a pair's relative displacement is then <= margin, so no
+       non-candidate mover pair can have closed its > margin anchor gap;
+    2. no moved body has travelled further than ``slack`` + margin, where
+       ``slack`` is the smallest positive anchor gap from any dynamic body
+       to any STATIC body — static bodies don't share the common
+       translation, so mover-static pairs need the uncompensated bound.
+       When every static body was already a candidate of everything at
+       refresh (the usual case: a huge ground slab), slack is +inf and
+       coherent free-fall never invalidates the cache.
+
+    In slow regimes (a settled pile) AND coherently-moving regimes (a
+    raining swarm) the O(N^2) + top_k stage amortizes to near zero while
+    narrowphase always sees fresh positions.  The whole bundle refreshes
+    atomically, keeping the symmetric-filter threshold test consistent."""
 
     anchor: Any   # (3, G, 128) positions at last refresh
     nb: Any       # (D, G, 128) int32 candidate partner (-1 empty)
     key: Any      # (D, G, 128) int32 selection keys
     thr: Any      # (G, 128) int32 largest key each body kept
     cand: Any     # () int32 directed candidate-slot count at refresh
+    slack: Any    # () f32 min positive dynamic->static anchor gap (1e9=inf)
 
     def replace(self, **kw) -> "BroadphaseCache":
         return dataclasses.replace(self, **kw)
@@ -83,27 +98,43 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
         key=jnp.zeros((degree, g, 128), jnp.int32),
         thr=jnp.zeros((g, 128), jnp.int32),
         cand=jnp.int32(0),
+        slack=jnp.float32(0.0),
     )
 
 
 def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
                      exclusions, degree: int, margin: float) -> BroadphaseCache:
-    """Rebuild the candidate lists only when some body moved > margin/2
-    since the cached anchor (exactness argument in BroadphaseCache)."""
-    disp2 = sum((pos_cg[k] - bp.anchor[k]) ** 2 for k in range(3))
-    need = jnp.max(disp2) > (0.5 * margin) ** 2
+    """Rebuild the candidate lists only when the cached superset guarantee
+    no longer holds (the two conditions in BroadphaseCache).
+
+    The moved-body set includes bodies that are static NOW but have moved
+    since the anchor (fall-frozen bodies): their pairs against live movers
+    were covered by the compensated mover-mover bound at refresh time, so
+    they must stay inside it."""
+    disp = [pos_cg[k] - bp.anchor[k] for k in range(3)]
+    disp2 = sum(d * d for d in disp)
+    moved = dynamic_g | (disp2 > 0.0)
+    mf = moved.astype(jnp.float32)
+    nm = jnp.maximum(jnp.sum(mf), 1.0)
+    t = [jnp.sum(d * mf) / nm for d in disp]
+    c2 = sum((disp[k] - t[k]) ** 2 for k in range(3))
+    need_mm = jnp.max(jnp.where(moved, c2, 0.0)) > (0.5 * margin) ** 2
+    lim = bp.slack + margin
+    need_ms = jnp.max(jnp.where(moved, disp2, 0.0)) > lim * lim
+    need = need_mm | need_ms
 
     def rebuild(_):
-        nb, key, thr, cand = candidate_lists(
+        nb, key, thr, cand, slack = candidate_lists(
             pos_cg, radius_g, dynamic_g, exclusions, degree, margin
         )
-        return BroadphaseCache(anchor=pos_cg, nb=nb, key=key, thr=thr, cand=cand)
+        return BroadphaseCache(anchor=pos_cg, nb=nb, key=key, thr=thr,
+                               cand=cand, slack=slack)
 
     return lax.cond(need, rebuild, lambda _: bp, operand=None)
 
 
 def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
-                    margin: float = 0.0):
+                    margin: float = 0.0, block_rows: int = 2048):
     """Per-body candidate slots, nearest-first, as unique integer keys.
 
     pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions (E, G, 128)
@@ -113,6 +144,10 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
       thr       (G, 128)    int32 largest key this body kept (INT32_MAX if
                             the body kept every overlapping candidate)
       candidate_slots       int32 total directed overlap slots pre-capacity
+      slack     ()          f32 smallest POSITIVE gap from any dynamic body
+                            to any static body (1e9 when none: every static
+                            body is already a candidate of every dynamic
+                            one) — the mover-static reuse bound
     """
     g = radius_g.shape[0]
     n = g * 128
@@ -121,61 +156,104 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
     pz = pos_cg[2].reshape(n)
     radius = radius_g.reshape(n)
     dynamic = dynamic_g.reshape(n)
-    d2 = (
-        (px[:, None] - px[None, :]) ** 2
-        + (py[:, None] - py[None, :]) ** 2
-        + (pz[:, None] - pz[None, :]) ** 2
-    )
-    rsum = radius[:, None] + radius[None, :] + margin
-    ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    # Rank candidates by SPHERE GAP (surface distance), not center
-    # distance: a huge static slab's center is "far" from every body even
-    # while touching it, and center-ranked eviction under a transient
-    # overflow would drop the ground contact first — bodies then tunnel
-    # through the floor (observed on Stress1000 landing cascades).  Gap
-    # ranking keeps the most-overlapping pairs, so capacity eviction can
-    # only ever drop the least-engaged margin candidates.
-    gap = jnp.sqrt(d2) - rsum
-    # rsum > margin rejects padding bodies (sentinel negative radius).
-    mask = (gap <= 0.0) & (rsum > margin) & (ii != jj) & dynamic[:, None]
-
-    # isConstrainedTo exclusions BEFORE slot selection (rigid.cpp:61-69):
-    # an excluded partner never occupies a neighbor slot.
     excl = exclusions.reshape(exclusions.shape[0], n) if exclusions.shape[0] else None
-    if excl is not None:
-        for e in range(excl.shape[0]):
-            mask &= jj != excl[e][:, None]
-
-    candidate_slots = jnp.sum(mask.astype(jnp.int32))
-
-    # Pack (gap, partner) into one strictly-increasing int32 key: q in
-    # [0, q_max) quantizes the gap over [-2*max_r, 0] (selection-only
-    # resolution ~1e-6 of the range).  Unique keys make deepest-first
-    # selection and the symmetric threshold test exact integer logic with
-    # no float-tie ambiguity.  The gap expression is bit-exact symmetric
-    # (d2 and rsum both are), so both endpoints quantize identically.
+    # Key packing constants are GLOBAL so row-blocked and whole-matrix
+    # evaluation produce identical keys (see below).
     q_max = (2**31 - 1) // n - 1
     max_r = jnp.max(radius) + 0.5 * margin
     gap_range = jnp.maximum(2.0 * max_r, 1e-6)
-    q = jnp.clip(
-        (gap + gap_range) * (q_max / gap_range), 0.0, float(q_max)
-    ).astype(jnp.int32)
-    key = q * n + jj
 
-    score = jnp.where(mask, -key, INT32_MIN)
-    vals, nb = lax.top_k(score, degree)            # (N, D) deepest-first
-    valid = vals > INT32_MIN
-    nb = jnp.where(valid, nb, -1)
-    key_slot = jnp.where(valid, -vals, 0)
-    last = vals[:, degree - 1]
-    thr = jnp.where(last > INT32_MIN, -last, INT32_MAX)
+    def row_block(r0, nb_rows: int):
+        """Candidate selection for rows [r0, r0+nb_rows): all intermediates
+        are (nb_rows, N), never (N, N) — at N=16384 the full matrix tier
+        would materialize several 1 GB arrays per refresh."""
+        pxb = lax.dynamic_slice_in_dim(px, r0, nb_rows)
+        pyb = lax.dynamic_slice_in_dim(py, r0, nb_rows)
+        pzb = lax.dynamic_slice_in_dim(pz, r0, nb_rows)
+        rb = lax.dynamic_slice_in_dim(radius, r0, nb_rows)
+        dynb = lax.dynamic_slice_in_dim(dynamic, r0, nb_rows)
+        d2 = (
+            (pxb[:, None] - px[None, :]) ** 2
+            + (pyb[:, None] - py[None, :]) ** 2
+            + (pzb[:, None] - pz[None, :]) ** 2
+        )
+        rsum = rb[:, None] + radius[None, :] + margin
+        ii = r0 + lax.broadcasted_iota(jnp.int32, (nb_rows, n), 0)
+        jj = lax.broadcasted_iota(jnp.int32, (nb_rows, n), 1)
+        # Rank candidates by SPHERE GAP (surface distance), not center
+        # distance: a huge static slab's center is "far" from every body
+        # even while touching it, and center-ranked eviction under a
+        # transient overflow would drop the ground contact first — bodies
+        # then tunnel through the floor (observed on Stress1000 landing
+        # cascades).  Gap ranking keeps the most-overlapping pairs, so
+        # capacity eviction can only ever drop the least-engaged margin
+        # candidates.
+        gap = jnp.sqrt(d2) - rsum
+        # rsum > margin rejects padding bodies (sentinel negative radius).
+        mask = (gap <= 0.0) & (rsum > margin) & (ii != jj) & dynb[:, None]
+
+        # isConstrainedTo exclusions BEFORE slot selection
+        # (rigid.cpp:61-69): an excluded partner never occupies a slot.
+        if excl is not None:
+            for e in range(excl.shape[0]):
+                eb = lax.dynamic_slice_in_dim(excl[e], r0, nb_rows)
+                mask &= jj != eb[:, None]
+
+        cand_b = jnp.sum(mask.astype(jnp.int32))
+
+        # Pack (gap, partner) into one strictly-increasing int32 key: q in
+        # [0, q_max) quantizes the gap over [-2*max_r, 0] (selection-only
+        # resolution ~1e-6 of the range).  Unique keys make deepest-first
+        # selection and the symmetric threshold test exact integer logic
+        # with no float-tie ambiguity.  The gap expression is bit-exact
+        # symmetric (d2 and rsum both are), so both endpoints quantize
+        # identically.
+        qq = jnp.clip(
+            (gap + gap_range) * (q_max / gap_range), 0.0, float(q_max)
+        ).astype(jnp.int32)
+        key = qq * n + jj
+
+        score = jnp.where(mask, -key, INT32_MIN)
+        vals, nb = lax.top_k(score, degree)        # (nb_rows, D) deepest 1st
+        valid = vals > INT32_MIN
+        nb = jnp.where(valid, nb, -1)
+        key_slot = jnp.where(valid, -vals, 0)
+        last = vals[:, degree - 1]
+        thr = jnp.where(last > INT32_MIN, -last, INT32_MAX)
+
+        # Mover-static slack: the closest any dynamic body comes (at these
+        # anchor poses) to a static body it is NOT a candidate of.
+        slack_mask = (
+            dynb[:, None] & ~dynamic[None, :] & (rsum > margin)
+            & (gap > 0.0) & (ii != jj)
+        )
+        slack_b = jnp.min(jnp.where(slack_mask, gap, 1.0e9))
+        return nb, key_slot, thr, cand_b, slack_b
+
+    if n <= block_rows:
+        nb, key_slot, thr, candidate_slots, slack = row_block(0, n)
+    else:
+        # Largest row-block that divides N and stays <= block_rows rows (N
+        # is a multiple of 128, so 128 always divides).
+        block = 128 * max(
+            bg for bg in range(1, block_rows // 128 + 1) if g % bg == 0
+        )
+        r0s = jnp.arange(0, n, block, dtype=jnp.int32)
+        nb_s, key_s, thr_s, cand_s, slack_s = lax.map(
+            lambda r0: row_block(r0, block), r0s
+        )
+        nb = nb_s.reshape(n, degree)
+        key_slot = key_s.reshape(n, degree)
+        thr = thr_s.reshape(n)
+        candidate_slots = jnp.sum(cand_s)
+        slack = jnp.min(slack_s)
 
     return (
         nb.T.reshape(degree, g, 128),
         key_slot.T.reshape(degree, g, 128),
         thr.reshape(g, 128),
         candidate_slots,
+        slack,
     )
 
 
@@ -214,6 +292,75 @@ def symmetric_filter(nb, key, thr, dynamic_g, gather, own_iota=None, n_total=Non
     return nb, kept
 
 
+def bp_probe(nb, pos_cg, quat_cg, half_cg, radius_g, linvel_cg, angvel_cg,
+             dt: float, collision_margin: float, grav_len: float, gather):
+    """Probe the cached candidate slots at CURRENT poses.  Returns:
+
+      min_sep  () f32   min over valid slots of the pair's BEST face-axis
+                        SAT separation (1e9 when no slots).  The SAT
+                        early-outs whenever any of the 6 face axes shows
+                        separation > collision_margin (testAxis,
+                        collision.cpp:231-234; narrowphase_cm mirrors it),
+                        and contacts can only arise from candidate slots —
+                        so ``min_sep > collision_margin`` PROVES narrowphase
+                        at these poses yields zero contacts (the ballistic
+                        fast-path predicate).  NOTE: bounding-sphere gaps
+                        are useless here — a ground slab's sphere encloses
+                        the whole scene — hence the face-axis projections.
+      n_slots  () int32 number of valid candidate slots (== cache.cand iff
+                        no top_k capacity drop happened at refresh — a
+                        second ballistic requirement, since dropped slots
+                        are unprobed).
+      near     (G,128) bool  body could gain a contact row THIS step: some
+                        slot's best separation minus one step of worst-case
+                        mutual surface travel is within collision_margin.
+                        Scopes the stale-Hessian speed gate to bodies whose
+                        Hessian can actually contain contact rows.
+
+    Pure math — runs with xla_gather on CPU and select_gather inside the
+    Mosaic probe kernel (solver_tpu.bp_probe_tpu)."""
+    from .. import cm
+
+    valid = nb >= 0
+    idx = jnp.where(valid, nb, 0)
+    pp = [gather(pos_cg[k], idx) for k in range(3)]
+    pq = [gather(quat_cg[k], idx) for k in range(4)]
+    ph = [gather(half_cg[k], idx) for k in range(3)]
+    delta = [pp[k] - pos_cg[k][None] for k in range(3)]
+    # Own axes/halves broadcast (1, G, 128) against partner slots (D, G, 128).
+    own_ax = [[c[None] for c in ax] for ax in cm.q_axes(tuple(quat_cg))]
+    own_half = [h[None] for h in half_cg]
+    par_ax = [list(ax) for ax in cm.q_axes(tuple(pq))]
+
+    def proj(axes, half, n_vec):
+        """Projection radius of a box (3 axes, 3 half-extents) onto axis n."""
+        return sum(
+            half[k] * jnp.abs(
+                axes[k][0] * n_vec[0] + axes[k][1] * n_vec[1]
+                + axes[k][2] * n_vec[2]
+            )
+            for k in range(3)
+        )
+
+    best = jnp.full(nb.shape, -1.0e9, jnp.float32)
+    for n_vec in [own_ax[a] for a in range(3)] + [par_ax[a] for a in range(3)]:
+        sep = (
+            jnp.abs(sum(delta[i] * n_vec[i] for i in range(3)))
+            - proj(own_ax, own_half, n_vec)
+            - proj(par_ax, ph, n_vec)
+        )
+        best = jnp.maximum(best, sep)
+    min_sep = jnp.min(jnp.where(valid, best, 1.0e9))
+    n_slots = jnp.sum(valid.astype(jnp.int32))
+
+    speed = jnp.sqrt(sum(c * c for c in linvel_cg))
+    wspin = jnp.sqrt(sum(c * c for c in angvel_cg)) * jnp.maximum(radius_g, 0.0)
+    travel = (speed + wspin) * dt
+    reach = travel[None] + gather(travel, idx) + 4.0 * dt * dt * grav_len
+    near = jnp.any(valid & (best - reach <= collision_margin), axis=0)
+    return min_sep, n_slots, near
+
+
 def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
     """Portable one-call broadphase: candidates + symmetric filter (native
     gather).  Returns (neighbors (D, G, 128) int32 with -1 empty, overflow =
@@ -222,7 +369,7 @@ def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
     def xla_gather(table, idx):
         return table.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
 
-    nb, key, thr, candidate_slots = candidate_lists(
+    nb, key, thr, candidate_slots, _slack = candidate_lists(
         pos_cg, radius_g, dynamic_g, exclusions, degree
     )
     nb, kept = symmetric_filter(nb, key, thr, dynamic_g, xla_gather)

@@ -69,13 +69,47 @@ def _sanitize(x, default, count):
     return fixed, count + jnp.sum((~finite).astype(jnp.int32))
 
 
-def stale_lhs_ok(b, params) -> "jnp.ndarray":
-    """True when every dynamic body is slow enough for the stale-Hessian
-    cadence (config.lhs_rebuild_every).  Shared by both backends so the
-    XLA path and the Pallas path take the same branch on the same state."""
+def stale_lhs_ok(b, bp, params, refine: bool = True) -> "jnp.ndarray":
+    """True when the stale-Hessian cadence (config.lhs_rebuild_every) is
+    safe this step.  Shared by both backends so the XLA path and the
+    Pallas path take the same branch on the same (pre-step) state.
+
+    Cheap global test first: every dynamic body slow => safe.  When some
+    body is fast, refine with the broadphase probe: a fast body only
+    endangers the stale cadence if it is NEAR a candidate contact (its 6x6
+    Hessian can contain contact rows this step; a far ballistic body's
+    Hessian is mass/inertia-only and exact at any speed).  This keeps the
+    stale cadence alive through rain-on-pile regimes where the old global
+    max (round-2 solver.py:72-78) forced per-iteration rebuilds scene-wide.
+    ``refine=False`` (grid tier: the probe kernel is unblocked) keeps the
+    plain global gate."""
     v2 = b.linvel[0] ** 2 + b.linvel[1] ** 2 + b.linvel[2] ** 2
-    v2 = jnp.max(jnp.where(b.dynamic, v2, 0.0))
-    return v2 <= params.lhs_stale_speed_max**2
+    v2 = jnp.where(b.dynamic, v2, 0.0)
+    thresh = params.lhs_stale_speed_max**2
+    ok_global = jnp.max(v2) <= thresh
+    if not refine:
+        return ok_global
+
+    def refined(_):
+        from .ops.broadphase import bp_probe
+
+        if jax.default_backend() == "tpu":
+            from . import solver_tpu
+
+            _mg, _ns, near = solver_tpu.bp_probe_tpu(bp.nb, b, params)
+        else:
+            g_len = float(sum(x * x for x in params.gravity) ** 0.5)
+            _mg, _ns, near = bp_probe(
+                bp.nb, tuple(b.pos[k] for k in range(3)),
+                tuple(b.quat[k] for k in range(4)),
+                tuple(b.size[k] * 0.5 for k in range(3)), b.radius,
+                tuple(b.linvel[k] for k in range(3)),
+                tuple(b.angvel[k] for k in range(3)),
+                params.dt, params.collision_margin, g_len, rep.xla_gather,
+            )
+        return jnp.max(jnp.where(near, v2, 0.0)) <= thresh
+
+    return lax.cond(ok_global, lambda _: jnp.bool_(True), refined, operand=None)
 
 
 def _clamp_angular(w, max_speed):
@@ -250,8 +284,8 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     # covers scenes (with or without joints/springs) up to 2048 bodies —
     # proven on hardware; at G=33 groups (4224 bodies) this environment's
     # Mosaic compile helper is OOM-killed even for a single kernel, so
-    # bigger N uses the portable XLA path (gridding the kernels over body
-    # groups is the planned lift).
+    # bigger N uses the gridded Pallas tier (contact-only) or the portable
+    # XLA path.
     supports_pallas = world.bodies.n <= 2048
     if cap.backend == "pallas":
         if not supports_pallas:
@@ -265,12 +299,6 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         use_pallas = False
     else:
         use_pallas = supports_pallas and jax.default_backend() == "tpu"
-    if use_pallas:
-        from . import solver_tpu
-
-        return solver_tpu.step_pallas(world, params, cap)
-    # Large-N tier: gridded kernels (one pallas launch per solver iteration,
-    # per-block programs small enough for the Mosaic compiler).  Contact-only.
     supports_grid = (
         world.bodies.n <= 16384
         and world.bodies.g % 8 == 0
@@ -282,14 +310,96 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
             "backend='grid' needs a contact-only scene with <= 16384 bodies "
             f"and G % 8 == 0 (n={world.bodies.n}, G={world.bodies.g})"
         )
-    if supports_grid and (
+    use_grid = (not use_pallas) and supports_grid and (
         cap.backend == "grid"
         or (cap.backend == "auto" and jax.default_backend() == "tpu")
-    ):
-        from . import solver_tpu
+    )
 
-        return solver_tpu.step_grid(world, params, cap)
-    return _step_impl(world, params, cap, rep.xla_gather)
+    def dispatch(w):
+        if use_pallas:
+            from . import solver_tpu
+
+            return solver_tpu.step_pallas(w, params, cap)
+        if use_grid:
+            from . import solver_tpu
+
+            return solver_tpu.step_grid(w, params, cap)
+        return _step_impl(w, params, cap, rep.xla_gather)
+
+    # Ballistic fast path: when the previous step ended with zero contacts
+    # and the broadphase probe PROVES narrowphase at the current poses
+    # yields none (every candidate sphere gap > collision margin; no
+    # capacity drop), the step's exact result is the inertial target —
+    # skip the whole iterative solve.  Gated on the previous-step contact
+    # count so the settled hot path never pays for the probe.
+    ballistic_able = (
+        params.ballistic
+        and world.joints.dj == 0
+        and world.springs.ds == 0
+        and not use_grid
+        and (supports_pallas or jax.default_backend() != "tpu")
+    )
+    if not ballistic_able:
+        return dispatch(world)
+
+    b = world.bodies
+    bp = refresh_or_reuse(
+        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
+        cap.max_degree, params.bp_margin,
+    )
+    world = world.replace(bp=bp)
+
+    def probe_pred(_):
+        from .ops.broadphase import bp_probe
+
+        if jax.default_backend() == "tpu":
+            from . import solver_tpu
+
+            min_gap, n_slots, _near = solver_tpu.bp_probe_tpu(bp.nb, b, params)
+        else:
+            g_len = float(sum(x * x for x in params.gravity) ** 0.5)
+            min_gap, n_slots, _near = bp_probe(
+                bp.nb, tuple(b.pos[k] for k in range(3)),
+                tuple(b.quat[k] for k in range(4)),
+                tuple(b.size[k] * 0.5 for k in range(3)), b.radius,
+                tuple(b.linvel[k] for k in range(3)),
+                tuple(b.angvel[k] for k in range(3)),
+                params.dt, params.collision_margin, g_len, rep.xla_gather,
+            )
+        return (min_gap > params.collision_margin) & (n_slots == bp.cand)
+
+    # Probe only when the previous step ended contact-free (so the settled
+    # hot path pays nothing); the full backend path is traced exactly once.
+    ballistic_ok = lax.cond(
+        world.diagnostics.active_contacts == 0,
+        probe_pred, lambda _: jnp.bool_(False), operand=None,
+    )
+    return lax.cond(
+        ballistic_ok, lambda w: _ballistic_step(w, params, cap), dispatch,
+        world,
+    )
+
+
+def _ballistic_step(world: World, params: SolverParams, cap: Capacity) -> World:
+    """Contact-free step: with zero active constraint rows the primal fixed
+    point is exactly the inertial target (solver.cpp:344-409 with no force
+    terms reduces to x <- x_tilde on the first iteration), so the iterative
+    solve is skipped entirely.  Caller guarantees (via the broadphase
+    probe) that narrowphase at these poses produces no contacts and that
+    the previous step's contact cache is empty."""
+    b = world.bodies
+    linvel, angvel, inertial_pos, inertial_quat, _ps, _qs, sanitized = predict(
+        b, params
+    )
+    d, g = world.contacts.other.shape[0], b.g
+    sep = jnp.zeros((4, d, g, 128), jnp.float32)
+    once = jnp.zeros((d, g, 128), bool)
+    return finalize(
+        world, b, world.contacts, world.joints, world.springs,
+        inertial_pos, inertial_quat, b.pos_n3, b.quat_n4,
+        linvel, angvel, world.contacts.lam, sep, once,
+        jnp.int32(0), sanitized, params,
+    )
 
 
 def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> World:
@@ -503,9 +613,9 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     k_re = max(1, params.lhs_rebuild_every)
     if k_re > 1:
         # Speed-gated staleness (see config.lhs_rebuild_every): energetic
-        # steps rebuild the Hessian every iteration.
+        # near-contact steps rebuild the Hessian every iteration.
         carry = lax.cond(
-            stale_lhs_ok(b, params),
+            stale_lhs_ok(b, bp, params),
             lambda _: phase4(k_re),
             lambda _: phase4(1),
             operand=None,

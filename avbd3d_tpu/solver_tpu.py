@@ -165,6 +165,59 @@ def collide_and_init_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverPara
 
 
 # ---------------------------------------------------------------------------
+# Broadphase probe kernel: min candidate sphere gap + near-contact mask.
+# Powers the ballistic fast path and the near-refined stale-LHS gate
+# (ops/broadphase.bp_probe for the semantics).  Unblocked (G <= 16 scenes).
+# ---------------------------------------------------------------------------
+
+def _make_kernel_probe(params: SolverParams):
+    from .ops.broadphase import bp_probe
+
+    g_len = float(sum(x * x for x in params.gravity) ** 0.5)
+
+    def kernel(nb_ref, pos_ref, quat_ref, size_ref, rad_ref, lv_ref, av_ref,
+               out_s_ref, out_near_ref):
+        min_gap, n_slots, near = bp_probe(
+            nb_ref[:],
+            tuple(pos_ref[k] for k in range(3)),
+            tuple(quat_ref[k] for k in range(4)),
+            tuple(size_ref[k] * 0.5 for k in range(3)),
+            rad_ref[:],
+            tuple(lv_ref[k] for k in range(3)),
+            tuple(av_ref[k] for k in range(3)),
+            params.dt, params.collision_margin, g_len, rep.select_gather,
+        )
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        first = row == 0
+        out_s_ref[:] = (
+            jnp.where(first & (lane == 0), min_gap, 0.0)
+            + jnp.where(first & (lane == 1), n_slots.astype(jnp.float32), 0.0)
+        )
+        out_near_ref[:] = near.astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def bp_probe_tpu(nb, b, params: SolverParams):
+    """Returns (min_gap f32, n_slots i32, near (G,128) bool)."""
+    g = nb.shape[1]
+    outs = pl.pallas_call(
+        _make_kernel_probe(params),
+        out_shape=[
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 128), jnp.float32),
+        ],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        interpret=_interpret_mode(),
+    )(nb, b.pos, b.quat, b.size, b.radius, b.linvel, b.angvel)
+    s, near = outs
+    return s[0, 0], s[0, 1].astype(jnp.int32), near > 0.5
+
+
+# ---------------------------------------------------------------------------
 # Kernel B: prediction + iterative solve + velocities + diagnostics
 # ---------------------------------------------------------------------------
 
@@ -860,9 +913,9 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
 
     if params.lhs_rebuild_every > 1:
         # Speed-gated Hessian staleness (config.lhs_rebuild_every):
-        # energetic steps take the fresh-LHS kernel variant.
+        # energetic near-contact steps take the fresh-LHS kernel variant.
         contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
-            stale_lhs_ok(b, params),
+            stale_lhs_ok(b, bp, params),
             lambda _: run(params),
             lambda _: run(params.replace(lhs_rebuild_every=1)),
             operand=None,
@@ -1011,12 +1064,66 @@ def _make_kernel_a_grid(params: SolverParams, gb: int, n_total: int):
     return kernel
 
 
+def _collide_grid_math(old: Contacts, nb_raw, keys, thr, b,
+                       params: SolverParams, gb: int):
+    """Off-TPU twin of gridded kernel A: same block decomposition, plain
+    XLA with xla_gather."""
+    from .ops.broadphase import symmetric_filter
+
+    d, g, _ = nb_raw.shape
+
+    def blk(x, pid):
+        g_ax = x.ndim - 2
+        return lax.slice_in_dim(x, pid * gb, (pid + 1) * gb, axis=g_ax)
+
+    dyn_t = b.inv_mass > 0.0
+    table = {
+        "pos": tuple(b.pos[k] for k in range(3)),
+        "quat": tuple(b.quat[k] for k in range(4)),
+        "half": tuple(b.size[k] * 0.5 for k in range(3)),
+        "inv_mass": b.inv_mass,
+        "friction": b.friction,
+    }
+    caches, kepts, onces = [], [], []
+    for pid in range(g // gb):
+        own_iota = _block_iota(pid, gb)
+        old_blk = jax.tree_util.tree_map(lambda x: blk(x, pid), old)
+        body = {
+            "pos": tuple(blk(b.pos, pid)[k] for k in range(3)),
+            "quat": tuple(blk(b.quat, pid)[k] for k in range(4)),
+            "half": tuple(blk(b.size, pid)[k] * 0.5 for k in range(3)),
+            "inv_mass": blk(b.inv_mass, pid),
+            "friction": blk(b.friction, pid),
+        }
+        neighbors, _ = symmetric_filter(
+            blk(nb_raw, pid), blk(keys, pid), thr, dyn_t, rep.xla_gather,
+            own_iota, g * 128,
+        )
+        new = rep.collide_and_init(
+            old_blk, neighbors, body, params, rep.xla_gather, own_iota, table
+        )
+        valid = new.other >= 0
+        idx = jnp.where(valid, new.other, 0)
+        other_dyn = rep.xla_gather(dyn_t.astype(jnp.float32), idx) > 0.5
+        onces.append(valid & ((own_iota[None] < idx) | ~other_dyn))
+        kepts.append((neighbors >= 0).astype(jnp.float32))
+        caches.append(new)
+
+    def cat(leaves):
+        return jnp.concatenate(leaves, axis=leaves[0].ndim - 2)
+
+    cache = jax.tree_util.tree_map(lambda *xs: cat(list(xs)), *caches)
+    return cache, cat(kepts), cat(onces)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
                           params: SolverParams):
     """Gridded kernel A.  Returns (contacts, keptmask, once)."""
     d, g, _ = nb_raw.shape
     gb = _pick_gb(g)
+    if _interpret_mode():
+        return _collide_grid_math(old, nb_raw, keys, thr, b, params, gb)
     cache_args = _cache_to_args(old)
     in_args = cache_args + [nb_raw, keys, b.pos, b.quat, b.size, b.inv_mass,
                             b.friction, thr, b.pos, b.quat, b.size,
@@ -1215,8 +1322,65 @@ def _make_kernel_iter_grid(params: SolverParams, gb: int, rebuild: bool,
     return kernel
 
 
+def _iter_grid_call_math(params, gb, rebuild, ramp_pen, first, contacts, b,
+                         pos, quat, lam, pen, stickf, geom36, mat24, ip, iq,
+                         scal):
+    """Off-TPU twin of the gridded iteration launch: the SAME per-block
+    math (_iter_grid_math) with the same block decomposition, as plain
+    jitted XLA with xla_gather — so the grid tier's semantics (including
+    the one-launch partner-pose lag of the carried dual geometry) are
+    CPU-testable without Mosaic or interpret mode."""
+    d, g, _ = contacts.other.shape
+
+    def blk(x, pid):
+        g_ax = x.ndim - 2
+        return lax.slice_in_dim(x, pid * gb, (pid + 1) * gb, axis=g_ax)
+
+    outs = []
+    for pid in range(g // gb):
+        own_iota = _block_iota(pid, gb)
+        cache = jax.tree_util.tree_map(lambda x: blk(x, pid), contacts)
+        body_const = {
+            "mass": blk(b.mass, pid),
+            "inv_mass": blk(b.inv_mass, pid),
+            "inertia": tuple(blk(b.inertia, pid)[k] for k in range(3)),
+            "inv_inertia": tuple(blk(b.inv_inertia, pid)[k] for k in range(3)),
+        }
+        consts = rep.pair_constants(
+            cache.other,
+            {"friction": blk(b.friction, pid), "inv_mass": body_const["inv_mass"]},
+            rep.xla_gather,
+            {"friction": b.friction, "inv_mass": b.inv_mass},
+        )
+        static = rep.geometry_static(cache, consts, own_iota)
+        table_pose = {
+            "pos": tuple(pos[k] for k in range(3)),
+            "quat": tuple(quat[k] for k in range(4)),
+        }
+        outs.append(_iter_grid_math(
+            params, cache, consts, static, own_iota,
+            tuple(blk(pos, pid)[k] for k in range(3)),
+            tuple(blk(quat, pid)[k] for k in range(4)),
+            blk(geom36, pid), blk(mat24, pid), blk(lam, pid), blk(pen, pid),
+            blk(stickf, pid), table_pose, body_const,
+            tuple(blk(ip, pid)[k] for k in range(3)),
+            tuple(blk(iq, pid)[k] for k in range(4)),
+            scal[0], scal[1], rebuild, ramp_pen, first, rep.xla_gather,
+        ))
+    # Concatenate the per-block outputs back along the G axis.
+    return tuple(
+        jnp.concatenate([o[i] for o in outs], axis=outs[0][i].ndim - 2)
+        for i in range(len(outs[0]))
+    )
+
+
 def _iter_grid_call(params, gb, rebuild, ramp_pen, first, contacts, b,
                     pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal):
+    if _interpret_mode():
+        return _iter_grid_call_math(
+            params, gb, rebuild, ramp_pen, first, contacts, b,
+            pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal,
+        )
     d, g, _ = contacts.other.shape
     cache_args = _cache_to_args(contacts)
     in_args = cache_args + [
@@ -1310,32 +1474,49 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     carry0 = (ps, qs, contacts.lam, contacts.penalty,
               contacts.stick.astype(jnp.float32), zgeom, zmat)
 
-    def run_iters(k_re):
-        # Fully unrolled: total_iters gridded launches in the step graph
-        # (the per-iteration programs are shared across launches, so only a
-        # handful of kernel variants actually compile).
-        blocks, tail = divmod(total_iters, k_re)
-        flags = []
-        for _bi in range(blocks):
-            for j in range(k_re):
-                flags.append((j == 0, j == k_re - 1))
-        for j in range(tail):
-            flags.append((j == 0, j == tail - 1))
+    def launch(c, rebuild, ramp, first, scal):
+        pos, quat, lam, pen, stickf, geom36, mat24 = c
+        return tuple(_iter_grid_call(
+            params, gb, rebuild, ramp, first, contacts, b,
+            pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal,
+        ))
 
+    def run_iters(k_re):
+        # Head block unrolled (its first launch computes the initial
+        # geometry); the remaining full blocks run under ONE lax.scan whose
+        # body is the k_re-launch block — so the number of launch sites in
+        # the step graph (and hence compile time) is ~2*k_re + tail instead
+        # of total_iters (round-2: 159 s compile for a 20-step scan at
+        # N=5120 from the fully-unrolled chain).
+        blocks, tail = divmod(total_iters, k_re)
         c = carry0
-        for it, (rebuild, ramp) in enumerate(flags):
-            pos, quat, lam, pen, stickf, geom36, mat24 = c
-            c = tuple(_iter_grid_call(
-                params, gb, rebuild, ramp, it == 0, contacts, b,
-                pos, quat, lam, pen, stickf, geom36, mat24, ip, iq,
-                scal_for(it),
-            ))
+        it = 0
+        if blocks > 0:
+            for j in range(k_re):
+                c = launch(c, j == 0, j == k_re - 1, it == 0, scal_for(it))
+                it += 1
+            if blocks > 1:
+                scal_stack = jnp.stack([
+                    jnp.stack([scal_for(bi * k_re + j) for j in range(k_re)])
+                    for bi in range(1, blocks)
+                ])  # (blocks-1, k_re, 8, 128)
+
+                def body(c, scal_k):
+                    for j in range(k_re):
+                        c = launch(c, j == 0, j == k_re - 1, False, scal_k[j])
+                    return c, None
+
+                c, _ = lax.scan(body, c, scal_stack)
+                it += (blocks - 1) * k_re
+        for j in range(tail):
+            c = launch(c, j == 0, j == tail - 1, it == 0, scal_for(it))
+            it += 1
         return c
 
     k_re = max(1, params.lhs_rebuild_every)
     if k_re > 1:
         carry = lax.cond(
-            stale_lhs_ok(b, params),
+            stale_lhs_ok(b, bp, params, refine=False),
             lambda _: run_iters(k_re),
             lambda _: run_iters(1),
             operand=None,

@@ -108,7 +108,14 @@ class Sim:
             radius=b.radius.at[gi, li].set(radius),
         )
         # Invalidate the broadphase cache so the new body is discovered now.
-        bp = self.world.bp.replace(anchor=self.world.bp.anchor + 1.0e9)
+        # (The spawned slot's pos jump alone already breaks the compensated
+        # reuse bound, but force it explicitly: a CONSTANT far anchor gives
+        # per-body displacements equal to -pos, whose spread exceeds
+        # margin/2 in any non-degenerate scene.  NOTE a uniform anchor
+        # SHIFT would no longer work — common translations are compensated,
+        # ops/broadphase.refresh_or_reuse.)
+        bp = self.world.bp.replace(
+            anchor=jnp.full_like(self.world.bp.anchor, 1.0e9), slack=0.0)
         self.world = self.world.replace(bodies=bodies, bp=bp)
         self.n_real += 1
         return True
