@@ -56,6 +56,29 @@ def _dump_step(step_idx: int, world, n_real: int, out) -> None:
         )
 
 
+def _physics_line(step_index: int, d, out) -> None:
+    """The in-solver diagnostics line (solver.cpp:503-513): printed every
+    ``logFrequency`` steps when diagnostics are enabled; headless mode
+    forces enableDiagnostics=true, logFrequency=1 (main.cpp:207-208).
+    ``step_index`` is the solver's 1-based step counter (solver.cpp:257)."""
+    out.write(
+        "[Physics] step %d | manifolds: %d | contacts: %d | dyn bodies: %d "
+        "| maxPen: %.6f | maxDrift: %.6f | maxLin: %.3f | maxAng: %.3f "
+        "| maxLambda: %.3f\n"
+        % (
+            step_index,
+            int(d.active_manifolds),
+            int(d.active_contacts),
+            int(d.dynamic_bodies),
+            float(d.max_penetration),
+            float(d.max_constraint_violation),
+            float(d.max_linear_speed),
+            float(d.max_angular_speed),
+            float(d.max_normal_impulse),
+        )
+    )
+
+
 def _dump_diag(world, out) -> None:
     d = jax.device_get(world.diagnostics)
     out.write(
@@ -87,6 +110,11 @@ def main(argv=None) -> int:
     parser.add_argument("--quiet", action="store_true", help="diagnostics only")
     parser.add_argument("--bench", action="store_true", help="time steps/sec")
     parser.add_argument("--print-every", type=int, default=1)
+    parser.add_argument(
+        "--log-frequency", type=int, default=1,
+        help="[Physics] line cadence (solver.logFrequency; headless forces "
+        "diagnostics on with frequency 1, main.cpp:207-208); 0 disables",
+    )
     args = parser.parse_args(argv)
 
     enable_compilation_cache()
@@ -113,6 +141,10 @@ def main(argv=None) -> int:
 
     for i in range(args.steps):
         world = step(world, params, cap)
+        # Solver-side [Physics] line first (printed from inside
+        # Solver::step in the reference), then main's per-body dump.
+        if args.log_frequency > 0 and (i + 1) % args.log_frequency == 0:
+            _physics_line(i + 1, jax.device_get(world.diagnostics), out)
         if (i + 1) % args.print_every and i != args.steps - 1:
             continue
         if not args.quiet:

@@ -90,7 +90,10 @@ def test_headless_print_order_and_format(capsys):
     out = capsys.readouterr().out
     lines = out.splitlines()
     assert lines[0].startswith("Running in headless mode: scene 'Ground'")
-    assert lines[1] == "Step 0:"
-    assert lines[2].startswith("  Body 1: Pos(0.0000, -0.5000, 0.0000)")
-    assert "Rot(0.0000, 0.0000, 0.0000, 1.0000)" in lines[2]
-    assert lines[3].startswith("  Diagnostics: manifolds=0 contacts=0 dynBodies=0")
+    # In-solver diagnostics line first (solver.cpp:503-513; 1-based step),
+    # then main's dump (main.cpp:228-244).
+    assert lines[1].startswith("[Physics] step 1 | manifolds: 0 | contacts: 0")
+    assert lines[2] == "Step 0:"
+    assert lines[3].startswith("  Body 1: Pos(0.0000, -0.5000, 0.0000)")
+    assert "Rot(0.0000, 0.0000, 0.0000, 1.0000)" in lines[3]
+    assert lines[4].startswith("  Diagnostics: manifolds=0 contacts=0 dynBodies=0")
