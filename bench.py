@@ -34,8 +34,40 @@ from avbd3d_tpu import load_scene, run_steps  # noqa: E402
 
 BASELINE_SETTLED = 19.9   # C++ single-thread, settled regime (BASELINE.md)
 BASELINE_FALLING = 44.1   # C++ single-thread, falling regime (BASELINE.md)
+# C++ (ref_stressn, same machine) at the capacity-scaling scene sizes —
+# settled-regime steps/sec; see BASELINE.md "capacity scaling".
+BASELINE_STRESS = {"Stress2048": None, "Stress4096": None}
 BLOCK = 1000
 TRIALS = 5
+
+
+def _bench_capacity(name: str, warm: int, timed: int):
+    """Settled-regime steps/sec for a capacity-scaling scene (fused Pallas
+    at 2048; gridded tier at 4096).  Returns a dict for 'extra'."""
+    sc = load_scene(name)
+    w = sc.world
+    t0 = time.perf_counter()
+    w = run_steps(w, sc.params, sc.cap, warm)   # fall + land + settle
+    _sync(w)
+    warm_s = time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        w = run_steps(w, sc.params, sc.cap, timed)
+        _sync(w)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    d = jax.device_get(w.diagnostics)
+    sps = timed / best
+    base = BASELINE_STRESS.get(name)
+    return {
+        "steps_per_sec": round(sps, 1),
+        "vs_cxx_same_n": round(sps / base, 2) if base else None,
+        "warmup_wall_s": round(warm_s, 1),
+        "max_penetration": float(d.max_penetration),
+        "overflow": int(d.pair_overflow) + int(d.degree_overflow),
+        "sanitized": int(d.sanitized),
+    }
 
 
 def _sync(world) -> float:
@@ -96,6 +128,15 @@ def main() -> None:
             "overflow": int(d.pair_overflow) + int(d.degree_overflow),
         },
     }
+
+    # Capacity-scaling tiers (fused kernel at 2048 bodies, gridded Pallas
+    # at 4096).  Guarded: the headline metric above is already recorded.
+    for name, warm, timed in (("Stress2048", 700, 200), ("Stress4096", 800, 200)):
+        try:
+            result["extra"][name.lower()] = _bench_capacity(name, warm, timed)
+        except Exception as e:  # noqa: BLE001 — report, don't lose the headline
+            result["extra"][name.lower()] = {"error": str(e)[:200]}
+
     print(json.dumps(result))
 
 

@@ -2,6 +2,7 @@
 checkpoint round-trip (SURVEY.md section 2 rows 9-12 + aux subsystems)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ def _world_anchor(w, body, local):
     return np.asarray(p + quat_rotate(q, jnp.asarray(local, jnp.float32)))
 
 
+@pytest.mark.slow  # 739 s on 1 CPU core
 def test_weld_joint_chain_holds():
     # The rod the reference intended (scenes.h:138-151): segments welded end
     # to end below a static anchor must stay connected under gravity.

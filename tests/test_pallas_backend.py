@@ -11,6 +11,7 @@ value-equivalence is asserted here separately.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from avbd3d_tpu import load_scene
@@ -77,6 +78,7 @@ def _run_pair(name, n_steps):
     return wx, wp, drift
 
 
+@pytest.mark.slow
 def test_pallas_math_matches_xla_trajectory_two_block_drop():
     wx, wp, drift = _run_pair("TwoBlockDrop", 100)
     # Early trajectory: the two backends track tightly before f32 chaos
@@ -91,6 +93,7 @@ def test_pallas_math_matches_xla_trajectory_two_block_drop():
         assert int(d.pair_overflow) == 0
 
 
+@pytest.mark.slow
 def test_pallas_math_matches_xla_trajectory_rod_jointed():
     # Hard-weld chain with 2-color Gauss-Seidel sub-passes: smooth dynamics
     # (no contacts), so the backends track to float precision.
@@ -101,6 +104,7 @@ def test_pallas_math_matches_xla_trajectory_rod_jointed():
         assert int(d.sanitized) == 0
 
 
+@pytest.mark.slow
 def test_pallas_math_matches_xla_soft_grid_envelope():
     # Soft-welded sheet: contact onset is chaotic (a 1e-6 perturbation on
     # the SAME backend diverges to ~2.7 within 30 steps — measured), so
@@ -115,6 +119,7 @@ def test_pallas_math_matches_xla_soft_grid_envelope():
         assert np.all(np.abs(pos[:n_real]) < 25.0)
 
 
+@pytest.mark.slow
 def test_pallas_math_matches_xla_trajectory_stack():
     wx, wp, drift = _run_pair("Stack", 80)
     assert max(drift[:30]) < 2e-3, f"early drift {max(drift[:30]):.2e}"

@@ -20,10 +20,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ORACLE = "/tmp/avbd_oracle/ref_headless"
 
-pytestmark = pytest.mark.skipif(
-    not (os.path.isdir("/root/reference/source") and shutil.which("g++")),
-    reason="reference sources or g++ unavailable",
-)
+pytestmark = [
+    pytest.mark.slow,  # oracle g++ build + lockstep runs (~8 min on 1 core)
+    pytest.mark.skipif(
+        not (os.path.isdir("/root/reference/source") and shutil.which("g++")),
+        reason="reference sources or g++ unavailable",
+    ),
+]
 
 
 def _tools():
