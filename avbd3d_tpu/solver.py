@@ -518,12 +518,21 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
         # Contact Hessian: rebuilt on the block head, reused in between
         # (joint/spring LHS parts below stay per-iteration fresh — they are
-        # small and re-evaluated per color sub-pass anyway).
-        if rebuild:
+        # small and re-evaluated per color sub-pass anyway).  ``rebuild`` is
+        # True (static, always rebuild) or a traced bool — the latter wraps
+        # the rebuild in one small lax.cond so the iteration body is traced
+        # exactly once per step graph (the old duplicated phase4(k)/phase4(1)
+        # cond doubled the step graph and with it XLA compile time).
+        def _fresh_cmat(_):
             iiw = _world_inertia_components(quat, b._n3(b.inv_inertia))
             iiw_g = [c.reshape(g, 128) for c in iiw]
             m = rep.body_matrix(geom, f_c, pen_c, iiw_g)
-            cmat = tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+            return tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+
+        if rebuild is True:
+            cmat = _fresh_cmat(None)
+        else:
+            cmat = lax.cond(rebuild, _fresh_cmat, lambda _: cmat, operand=None)
 
         n_colors = cap.joint_colors if (has_joints or has_springs) else 1
         color_arr = joints.color.reshape(n)
@@ -569,9 +578,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         # next use (augmented-Lagrangian cadence — see solver_tpu for the
         # stability rationale; k=1 ramps every iteration, reference-exact).
         # Joint/spring LHS parts are always fresh, so their ramp cadence is
-        # untouched.
-        if ramp_pen:
-            pen_c = jnp.where(do_dual, pen_c2, pen_c)
+        # untouched.  ``ramp_pen`` may be traced (data-dependent cadence).
+        pen_c = jnp.where(do_dual & ramp_pen, pen_c2, pen_c)
         stick = jnp.where(do_dual, stick2, jnp.stack(crs2["stick"]))
         lam_j = jnp.where(do_dual, lam_j2, lam_j)
         pen_j = jnp.where(do_dual, pen_j2, pen_j)
@@ -592,36 +600,32 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         sanitized,
         zmat,
     )
-    def phase4(k_re):
-        blocks, block_tail = divmod(total_iters, k_re)
-
-        def block_body(bi, c):
-            it0 = bi * k_re
-            for j in range(k_re):
-                c = iteration(it0 + j, c, rebuild=(j == 0),
-                              ramp_pen=(j == k_re - 1))
-            return c
-
-        carry = carry0
-        if blocks > 0:
-            carry = lax.fori_loop(0, blocks, block_body, carry)
-        for j in range(block_tail):
-            carry = iteration(jnp.int32(blocks * k_re + j), carry,
-                              rebuild=(j == 0), ramp_pen=(j == block_tail - 1))
-        return carry
-
     k_re = max(1, params.lhs_rebuild_every)
     if k_re > 1:
-        # Speed-gated staleness (see config.lhs_rebuild_every): energetic
-        # near-contact steps rebuild the Hessian every iteration.
-        carry = lax.cond(
-            stale_lhs_ok(b, bp, params),
-            lambda _: phase4(k_re),
-            lambda _: phase4(1),
-            operand=None,
-        )
+        # Speed-gated staleness (see config.lhs_rebuild_every) as a traced
+        # boolean folded into ONE iteration body: calm steps rebuild the
+        # Hessian on block heads only (it % k == 0) and ramp the penalty at
+        # block tails; energetic near-contact steps (``fresh``) rebuild and
+        # ramp every iteration — exactly the k=1 cadence.  The former
+        # lax.cond between two whole phase-4 graphs doubled the traced step
+        # graph (and XLA compile time) for identical values.
+        fresh = ~stale_lhs_ok(b, bp, params)
+
+        def loop_body(it, c):
+            j = it % k_re
+            return iteration(
+                it, c,
+                rebuild=(j == 0) | fresh,
+                ramp_pen=(j == k_re - 1) | (it == total_iters - 1) | fresh,
+            )
+
+        carry = lax.fori_loop(0, total_iters, loop_body, carry0)
     else:
-        carry = phase4(1)
+
+        def loop_body(it, c):
+            return iteration(it, c, rebuild=True, ramp_pen=True)
+
+        carry = lax.fori_loop(0, total_iters, loop_body, carry0)
     pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized, _ = carry
 
     contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)

@@ -211,6 +211,10 @@ def bp_probe_tpu(nb, b, params: SolverParams):
         ],
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        # (D, G, 128) SAT temporaries exceed the 16M default scoped-vmem
+        # limit at G=16, D=24 (Stress2048: 27.9M measured) — same raised
+        # ceiling as the step kernel.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(nb, b.pos, b.quat, b.size, b.radius, b.linvel, b.angvel)
     s, near = outs
@@ -224,16 +228,20 @@ def bp_probe_tpu(nb, b, params: SolverParams):
 def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
                    av_r, plv_r, mass_r, invm_r, fric_r, inertia_r,
                    inv_inertia_r, gather=rep.select_gather, joints=None,
-                   springs=None, n_colors=1):
+                   springs=None, n_colors=1, fresh=None, unroll=False):
     """Phases 3-6 as pure array math: the body of kernel B.
 
     Called with VMEM-resident values inside the Pallas kernel (gather =
-    select_gather, the Mosaic-friendly strategy), and directly as ordinary
-    jitted XLA by ``solve_loop_math`` for CPU testing — same ops, same op
-    order, so the flagship backend's math is covered by the CPU suite.  The
-    CPU twin injects xla_gather instead: select_gather's take_along_axis
-    chains explode XLA:CPU compile time (>25 min vs 6 s), and gather-strategy
-    equivalence is unit-tested separately.  Returns the kernel's 10 outputs.
+    select_gather, the Mosaic-friendly strategy, unroll=True), and directly
+    as ordinary jitted XLA by ``solve_loop_math`` for CPU testing — same
+    per-iteration ops in the same order, so the flagship backend's math is
+    covered by the CPU suite.  Two value-preserving substitutions on the CPU
+    twin: (1) xla_gather instead of select_gather (take_along_axis chains
+    explode XLA:CPU compile time >25 min vs 6 s; value-equivalence is
+    unit-tested separately); (2) unroll=False — the cadence blocks run as
+    one fori loop with rebuild/ramp as data (same values, graph traced once)
+    instead of the statically unrolled Mosaic form.  Returns the kernel's
+    10 outputs.
     """
     dt = params.dt
     inv_dt2 = 1.0 / (dt * dt)
@@ -375,10 +383,24 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
             f = rep.primal_force(rows, pen)
 
-            if rebuild:
+            # ``rebuild``: True = always rebuild (k=1 cadence, and every
+            # iteration of the unrolled Mosaic block head); False = static
+            # stale iteration (unrolled Mosaic block body); traced bool =
+            # block-head test inside the single-fori CPU-twin/XLA form,
+            # where one small lax.cond keeps the iteration body traced
+            # exactly once per step graph.
+            def _fresh_mat(_):
                 iiw = _world_inertia_comps(quat, inv_inertia)
                 m = rep.body_matrix(geom, f, pen, iiw)
-                mat = m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"]
+                return tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+
+            if rebuild is True:
+                mat = list(_fresh_mat(None))
+            elif rebuild is False:
+                pass  # static stale iteration (unrolled Mosaic block body)
+            else:
+                mat = list(lax.cond(rebuild, _fresh_mat,
+                                    lambda _: tuple(mat), operand=None))
             m_ll, m_la, m_aa, gyro = mat[:6], mat[6:15], mat[15:21], mat[21:24]
             forces = rep.body_forces(geom, f)
 
@@ -472,9 +494,10 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             # Ramping mid-block while H is stale makes the gradient stiffer
             # than the curvature and pumps bounce energy (a 10-cube stack
             # never settles).  With lhs_rebuild_every=1 every iteration
-            # ramps — reference-exact (solver.cpp:411-429).
-            if ramp_pen:
-                pen = jnp.where(do_dual, pen2, pen)
+            # ramps — reference-exact (solver.cpp:411-429).  ``ramp_pen``
+            # may be traced (block-tail test inside the single fori body).
+            if ramp_pen is not False:
+                pen = jnp.where(do_dual & ramp_pen, pen2, pen)
             stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
             out = (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
                    nq[3]) + flat_geom(geom2) + (
@@ -501,22 +524,51 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             carry = carry + (joints.lam, joints.penalty)
 
         k_re = max(1, params.lhs_rebuild_every)
-        blocks, block_tail = divmod(total_iters, k_re)
+        if unroll and k_re > 1:
+            # Mosaic fused-kernel path: statically unrolled cadence blocks
+            # (rebuild/ramp as Python constants, no in-kernel cond).  The
+            # cond variant below costs ~20% settled-regime throughput in
+            # Mosaic (measured on Stress1000), so the TPU kernel keeps the
+            # unrolled form; the CPU twin keeps the small graph.
+            blocks, block_tail = divmod(total_iters, k_re)
 
-        def block_body(bi, c):
-            it0 = bi * k_re
-            for j in range(k_re):
-                c = one_iteration(it0 + j, c, rebuild=(j == 0),
-                                  ramp_pen=(j == k_re - 1))
-            return c
+            def block_body(bi, c):
+                it0 = bi * k_re
+                for j in range(k_re):
+                    c = one_iteration(it0 + j, c, rebuild=(j == 0),
+                                      ramp_pen=(j == k_re - 1))
+                return c
 
-        if blocks > 0:
-            carry = lax.fori_loop(0, blocks, block_body, carry)
-        for j in range(block_tail):
-            carry = one_iteration(
-                jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0),
-                ramp_pen=(j == block_tail - 1),
-            )
+            if blocks > 0:
+                carry = lax.fori_loop(0, blocks, block_body, carry)
+            for j in range(block_tail):
+                carry = one_iteration(
+                    jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0),
+                    ramp_pen=(j == block_tail - 1),
+                )
+        else:
+            if k_re > 1:
+                # One fori over all iterations; rebuild on block heads
+                # (it % k == 0), ramp at block tails and the final
+                # iteration — value-identical to the unrolled-block
+                # structure, with the iteration body traced exactly once.
+                # ``fresh`` (traced bool, CPU twin only) folds the speed
+                # gate in: a fresh step rebuilds and ramps every iteration,
+                # the exact k=1 cadence.
+                def loop_body(it, c):
+                    j = it % k_re
+                    rb = j == 0
+                    rp = (j == k_re - 1) | (it == total_iters - 1)
+                    if fresh is not None:
+                        rb = rb | fresh
+                        rp = rp | fresh
+                    return one_iteration(it, c, rebuild=rb, ramp_pen=rp)
+            else:
+
+                def loop_body(it, c):
+                    return one_iteration(it, c, rebuild=True, ramp_pen=True)
+
+            carry = lax.fori_loop(0, total_iters, loop_body, carry)
         px, py, pz, q0, q1, q2, q3 = carry[:7]
         geom_f = unflat_geom(carry[7:43])
         lam, pen, stick_f = carry[43:46]
@@ -601,7 +653,7 @@ def _make_kernel_b(params: SolverParams):
     def kernel(*refs):
         cache = _read_cache(refs[:12])
         body_arrs = [r[:] for r in refs[12:22]]
-        outs = _kernel_b_math(params, cache, *body_arrs)
+        outs = _kernel_b_math(params, cache, *body_arrs, unroll=True)
         for ref, val in zip(refs[-10:], outs):
             ref[:] = val
 
@@ -700,7 +752,7 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
         outs = _kernel_b_math(
             params, new, pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r,
             fric_r, inertia_r, inv_inertia_r, joints=joints, springs=springs,
-            n_colors=n_colors,
+            n_colors=n_colors, unroll=True,
         )
         cache_out = _cache_to_args(new)
         cache_out[_CACHE_FIELDS.index("lam")] = outs[6]
@@ -843,12 +895,12 @@ def collide_and_init_math(old: Contacts, nb_raw, keys, thr, b, params: SolverPar
 
 @functools.partial(jax.jit, static_argnames=("params", "n_colors"))
 def solve_loop_math(contacts: Contacts, b, params: SolverParams, joints=None,
-                    springs=None, n_colors: int = 1):
+                    springs=None, n_colors: int = 1, fresh=None):
     outs = _kernel_b_math(
         params, contacts, b.pos, b.quat, b.linvel, b.angvel, b.prev_linvel,
         b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia,
         gather=_math_gather(), joints=joints, springs=springs,
-        n_colors=n_colors,
+        n_colors=n_colors, fresh=fresh,
     )
     bodies = b.replace(
         pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
@@ -901,25 +953,33 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
                 world.contacts, bp.nb, bp.key, bp.thr, b, jv, sv, par, n_colors
             )
     else:
-        def run(par):
+        def run(par, fresh=None):
             contacts, kept = collide_and_init_math(
                 world.contacts, bp.nb, bp.key, bp.thr, b, par
             )
             bodies, lam, pen, stick, diag_v, j_lam, j_pen, s_pen = solve_loop_math(
-                contacts, b, par, jin, sin, n_colors
+                contacts, b, par, jin, sin, n_colors, fresh
             )
             contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
             return contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen
 
     if params.lhs_rebuild_every > 1:
         # Speed-gated Hessian staleness (config.lhs_rebuild_every):
-        # energetic near-contact steps take the fresh-LHS kernel variant.
-        contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
-            stale_lhs_ok(b, bp, params),
-            lambda _: run(params),
-            lambda _: run(params.replace(lhs_rebuild_every=1)),
-            operand=None,
-        )
+        # energetic near-contact steps rebuild/ramp every iteration.  On
+        # TPU this picks between two (small, single-fori) kernel variants;
+        # the CPU twin folds the gate in as a traced boolean so the step
+        # graph is traced once (same values either way).
+        if on_tpu:
+            contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
+                stale_lhs_ok(b, bp, params),
+                lambda _: run(params),
+                lambda _: run(params.replace(lhs_rebuild_every=1)),
+                operand=None,
+            )
+        else:
+            contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(
+                params, fresh=~stale_lhs_ok(b, bp, params)
+            )
     else:
         contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(params)
     overflow = bp.cand - kept

@@ -13,6 +13,19 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/avbd3d_tpu_xla")
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    # Unify the CPU-platform flag across every entry point (CLI, bench,
+    # tests, probes) BEFORE backend init: XLA_FLAGS participates in the
+    # cache key, so a CLI without the suite's 8-virtual-device flag would
+    # compile its own parallel universe of entries.  On this box a cold
+    # XLA:CPU step compile costs tens of minutes (PERF_NOTES.md round-3
+    # findings) — one shared namespace matters.  The flag only shapes the
+    # CPU platform; TPU runs are unaffected.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
     import jax
 
     cache_dir = path or os.environ.get("AVBD3D_CACHE_DIR", _DEFAULT_DIR)

@@ -7,7 +7,10 @@ physics itself is backend-agnostic jnp code.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (not setdefault): agent/driver shells export JAX_PLATFORMS=axon
+# globally, and a flaky TPU tunnel then aborts the whole suite with
+# "Unable to initialize backend 'axon'".  The suite is CPU-by-design.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

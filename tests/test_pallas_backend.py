@@ -65,13 +65,23 @@ def test_broadphase_symmetric_under_overflow():
 
 def _run_pair(name, n_steps):
     scene = load_scene(name)
+    # Deterministic-cadence config for backend EQUIVALENCE: the ballistic
+    # probe and the speed-gated stale-Hessian cadence are knife-edge
+    # branches on continuous state — once the two backends' f32 op-order
+    # drift (~1e-6) crosses a gate boundary on different steps, the
+    # cadences diverge and the comparison measures branch chaos, not
+    # kernel math.  Both features are backend-SHARED code (solver.py),
+    # covered at default params by test_fastpaths and the scene/parity
+    # suites; k=1 + no-ballistic also keeps the traced step graph small
+    # enough for XLA:CPU's pathological fusion pass (PERF_NOTES.md).
+    params = scene.params.replace(lhs_rebuild_every=1, ballistic=False)
     capx = scene.cap.replace(backend="xla")
     capp = scene.cap.replace(backend="pallas")
     wx = wp = scene.world
     drift = []
     for _ in range(n_steps):
-        wx = step(wx, scene.params, capx)
-        wp = step(wp, scene.params, capp)
+        wx = step(wx, params, capx)
+        wp = step(wp, params, capp)
         drift.append(
             float(jnp.max(jnp.abs(wx.bodies.pos - wp.bodies.pos)))
         )
