@@ -89,6 +89,12 @@ class SolverParams:
     # k=1).
     lhs_rebuild_every: int = 4
     lhs_stale_speed_max: float = 1.0
+    # Hessian-rebuild cadence used on ENERGETIC (gate-fresh) steps.  1 =
+    # reference-exact per-iteration rebuild (the measured-safe default —
+    # see the catapult note above).  >1 trades impact-phase Hessian
+    # freshness for falling-regime throughput; validate penetration/eject
+    # envelopes before shipping a non-1 value anywhere.
+    lhs_fresh_rebuild_every: int = 1
     # Broadphase candidate margin: sphere radii are enlarged by this much
     # during candidate selection, and the lists are reused until any body
     # has moved more than bp_margin/2 from the refresh anchor — an exact

@@ -103,29 +103,37 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
 
 
 def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
-                     exclusions, degree: int, margin: float) -> BroadphaseCache:
+                     exclusions, degree: int, margin: float,
+                     comm=None) -> BroadphaseCache:
     """Rebuild the candidate lists only when the cached superset guarantee
     no longer holds (the two conditions in BroadphaseCache).
 
     The moved-body set includes bodies that are static NOW but have moved
     since the anchor (fall-frozen bodies): their pairs against live movers
     were covered by the compensated mover-mover bound at refresh time, so
-    they must stay inside it."""
+    they must stay inside it.
+
+    ``comm`` (avbd3d_tpu.comm): collective seam for a body-sharded world.
+    The reuse predicate is built from all-reduces so every shard takes the
+    same lax.cond branch; defaults to the no-op LocalComm."""
+    if comm is None:
+        from ..comm import LOCAL_COMM as comm
     disp = [pos_cg[k] - bp.anchor[k] for k in range(3)]
     disp2 = sum(d * d for d in disp)
     moved = dynamic_g | (disp2 > 0.0)
     mf = moved.astype(jnp.float32)
-    nm = jnp.maximum(jnp.sum(mf), 1.0)
-    t = [jnp.sum(d * mf) / nm for d in disp]
+    nm = jnp.maximum(comm.psum(jnp.sum(mf)), 1.0)
+    t = [comm.psum(jnp.sum(d * mf)) / nm for d in disp]
     c2 = sum((disp[k] - t[k]) ** 2 for k in range(3))
-    need_mm = jnp.max(jnp.where(moved, c2, 0.0)) > (0.5 * margin) ** 2
+    need_mm = comm.pmax(jnp.max(jnp.where(moved, c2, 0.0))) > (0.5 * margin) ** 2
     lim = bp.slack + margin
-    need_ms = jnp.max(jnp.where(moved, disp2, 0.0)) > lim * lim
+    need_ms = comm.pmax(jnp.max(jnp.where(moved, disp2, 0.0))) > lim * lim
     need = need_mm | need_ms
 
     def rebuild(_):
         nb, key, thr, cand, slack = candidate_lists(
-            pos_cg, radius_g, dynamic_g, exclusions, degree, margin
+            pos_cg, radius_g, dynamic_g, exclusions, degree, margin,
+            comm=comm,
         )
         return BroadphaseCache(anchor=pos_cg, nb=nb, key=key, thr=thr,
                                cand=cand, slack=slack)
@@ -134,7 +142,7 @@ def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
 
 
 def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
-                    margin: float = 0.0, block_rows: int = 2048):
+                    margin: float = 0.0, block_rows: int = 2048, comm=None):
     """Per-body candidate slots, nearest-first, as unique integer keys.
 
     pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions (E, G, 128)
@@ -148,15 +156,32 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
                             to any static body (1e9 when none: every static
                             body is already a candidate of every dynamic
                             one) — the mover-static reuse bound
+
+    ``comm``: when the world is body-sharded over a mesh, the inputs are
+    this shard's (G_loc, 128) rows; the COLUMN side is all-gathered to the
+    global body set, row indices are offset to global ids, and the scalar
+    outputs are all-reduced — each shard computes exactly the row block a
+    single device would (the row-blocked path below IS the per-device
+    decomposition).  nb/key/thr stay per-shard rows.
     """
+    if comm is None:
+        from ..comm import LOCAL_COMM as comm
     g = radius_g.shape[0]
-    n = g * 128
-    px = pos_cg[0].reshape(n)
-    py = pos_cg[1].reshape(n)
-    pz = pos_cg[2].reshape(n)
-    radius = radius_g.reshape(n)
-    dynamic = dynamic_g.reshape(n)
-    excl = exclusions.reshape(exclusions.shape[0], n) if exclusions.shape[0] else None
+    n_rows = g * 128
+    row0_base = comm.row0(n_rows)
+    n = n_rows * comm.n_shards
+    px = comm.all_gather_g(pos_cg[0]).reshape(n)
+    py = comm.all_gather_g(pos_cg[1]).reshape(n)
+    pz = comm.all_gather_g(pos_cg[2]).reshape(n)
+    radius = comm.all_gather_g(radius_g).reshape(n)
+    dynamic = comm.all_gather_g(dynamic_g).reshape(n)
+    excl = exclusions.reshape(exclusions.shape[0], n_rows) if exclusions.shape[0] else None
+    # Local row views (identical to the globals when unsharded).
+    px_r = pos_cg[0].reshape(n_rows)
+    py_r = pos_cg[1].reshape(n_rows)
+    pz_r = pos_cg[2].reshape(n_rows)
+    radius_r = radius_g.reshape(n_rows)
+    dynamic_r = dynamic_g.reshape(n_rows)
     # Key packing constants are GLOBAL so row-blocked and whole-matrix
     # evaluation produce identical keys (see below).
     q_max = (2**31 - 1) // n - 1
@@ -164,21 +189,26 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
     gap_range = jnp.maximum(2.0 * max_r, 1e-6)
 
     def row_block(r0, nb_rows: int):
-        """Candidate selection for rows [r0, r0+nb_rows): all intermediates
-        are (nb_rows, N), never (N, N) — at N=16384 the full matrix tier
-        would materialize several 1 GB arrays per refresh."""
-        pxb = lax.dynamic_slice_in_dim(px, r0, nb_rows)
-        pyb = lax.dynamic_slice_in_dim(py, r0, nb_rows)
-        pzb = lax.dynamic_slice_in_dim(pz, r0, nb_rows)
-        rb = lax.dynamic_slice_in_dim(radius, r0, nb_rows)
-        dynb = lax.dynamic_slice_in_dim(dynamic, r0, nb_rows)
+        """Candidate selection for LOCAL rows [r0, r0+nb_rows) against all
+        N global columns: all intermediates are (nb_rows, N), never (N, N)
+        — at N=16384 the full matrix tier would materialize several 1 GB
+        arrays per refresh."""
+        pxb = lax.dynamic_slice_in_dim(px_r, r0, nb_rows)
+        pyb = lax.dynamic_slice_in_dim(py_r, r0, nb_rows)
+        pzb = lax.dynamic_slice_in_dim(pz_r, r0, nb_rows)
+        rb = lax.dynamic_slice_in_dim(radius_r, r0, nb_rows)
+        dynb = lax.dynamic_slice_in_dim(dynamic_r, r0, nb_rows)
         d2 = (
             (pxb[:, None] - px[None, :]) ** 2
             + (pyb[:, None] - py[None, :]) ** 2
             + (pzb[:, None] - pz[None, :]) ** 2
         )
         rsum = rb[:, None] + radius[None, :] + margin
-        ii = r0 + lax.broadcasted_iota(jnp.int32, (nb_rows, n), 0)
+        # Global row ids.  row0_base is the Python int 0 off the sharded
+        # path — keep the add out of the jaxpr there so single-device
+        # compile-cache keys are unchanged by the comm seam.
+        r0g = r0 if isinstance(row0_base, int) and row0_base == 0 else row0_base + r0
+        ii = r0g + lax.broadcasted_iota(jnp.int32, (nb_rows, n), 0)
         jj = lax.broadcasted_iota(jnp.int32, (nb_rows, n), 1)
         # Rank candidates by SPHERE GAP (surface distance), not center
         # distance: a huge static slab's center is "far" from every body
@@ -230,21 +260,22 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
         slack_b = jnp.min(jnp.where(slack_mask, gap, 1.0e9))
         return nb, key_slot, thr, cand_b, slack_b
 
-    if n <= block_rows:
-        nb, key_slot, thr, candidate_slots, slack = row_block(0, n)
+    if n_rows <= block_rows:
+        nb, key_slot, thr, candidate_slots, slack = row_block(0, n_rows)
     else:
-        # Largest row-block that divides N and stays <= block_rows rows (N
-        # is a multiple of 128, so 128 always divides).
+        # Largest row-block that divides the local row count and stays
+        # <= block_rows rows (row counts are multiples of 128, so 128
+        # always divides).
         block = 128 * max(
             bg for bg in range(1, block_rows // 128 + 1) if g % bg == 0
         )
-        r0s = jnp.arange(0, n, block, dtype=jnp.int32)
+        r0s = jnp.arange(0, n_rows, block, dtype=jnp.int32)
         nb_s, key_s, thr_s, cand_s, slack_s = lax.map(
             lambda r0: row_block(r0, block), r0s
         )
-        nb = nb_s.reshape(n, degree)
-        key_slot = key_s.reshape(n, degree)
-        thr = thr_s.reshape(n)
+        nb = nb_s.reshape(n_rows, degree)
+        key_slot = key_s.reshape(n_rows, degree)
+        thr = thr_s.reshape(n_rows)
         candidate_slots = jnp.sum(cand_s)
         slack = jnp.min(slack_s)
 
@@ -252,8 +283,8 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
         nb.T.reshape(degree, g, 128),
         key_slot.T.reshape(degree, g, 128),
         thr.reshape(g, 128),
-        candidate_slots,
-        slack,
+        comm.psum(candidate_slots),
+        comm.pmin(slack),
     )
 
 

@@ -394,9 +394,13 @@ def geometry_pose(cache: Contacts, static, body_pose, consts, gather,
     }
 
 
-def eval_geometry(cache: Contacts, body_pose, consts, gather):
-    """Full geometry evaluation (static + pose-dependent parts)."""
-    return geometry_pose(cache, geometry_static(cache, consts), body_pose, consts, gather)
+def eval_geometry(cache: Contacts, body_pose, consts, gather, own_iota=None):
+    """Full geometry evaluation (static + pose-dependent parts).
+    ``own_iota``: global body ids of the owning rows (sharded worlds)."""
+    return geometry_pose(
+        cache, geometry_static(cache, consts, own_iota), body_pose, consts,
+        gather,
+    )
 
 
 def eval_rows(geom, cache: Contacts, consts, lam, penalty, stick, alpha, params):

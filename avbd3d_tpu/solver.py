@@ -69,7 +69,8 @@ def _sanitize(x, default, count):
     return fixed, count + jnp.sum((~finite).astype(jnp.int32))
 
 
-def stale_lhs_ok(b, bp, params, refine: bool = True) -> "jnp.ndarray":
+def stale_lhs_ok(b, bp, params, refine: bool = True, comm=None,
+                 gather=None) -> "jnp.ndarray":
     """True when the stale-Hessian cadence (config.lhs_rebuild_every) is
     safe this step.  Shared by both backends so the XLA path and the
     Pallas path take the same branch on the same (pre-step) state.
@@ -82,18 +83,23 @@ def stale_lhs_ok(b, bp, params, refine: bool = True) -> "jnp.ndarray":
     stale cadence alive through rain-on-pile regimes where the old global
     max (round-2 solver.py:72-78) forced per-iteration rebuilds scene-wide.
     ``refine=False`` (grid tier: the probe kernel is unblocked) keeps the
-    plain global gate."""
+    plain global gate.  ``comm``/``gather``: collective seam + partner-read
+    strategy for a body-sharded world (the gate must take the same branch
+    on every shard, so the maxes are all-reduced)."""
+    if comm is None:
+        from .comm import LOCAL_COMM as comm
+    gather = gather or rep.xla_gather
     v2 = b.linvel[0] ** 2 + b.linvel[1] ** 2 + b.linvel[2] ** 2
     v2 = jnp.where(b.dynamic, v2, 0.0)
     thresh = params.lhs_stale_speed_max**2
-    ok_global = jnp.max(v2) <= thresh
+    ok_global = comm.pmax(jnp.max(v2)) <= thresh
     if not refine:
         return ok_global
 
     def refined(_):
         from .ops.broadphase import bp_probe
 
-        if jax.default_backend() == "tpu":
+        if comm.n_shards == 1 and jax.default_backend() == "tpu":
             from . import solver_tpu
 
             _mg, _ns, near = solver_tpu.bp_probe_tpu(bp.nb, b, params)
@@ -105,9 +111,9 @@ def stale_lhs_ok(b, bp, params, refine: bool = True) -> "jnp.ndarray":
                 tuple(b.size[k] * 0.5 for k in range(3)), b.radius,
                 tuple(b.linvel[k] for k in range(3)),
                 tuple(b.angvel[k] for k in range(3)),
-                params.dt, params.collision_margin, g_len, rep.xla_gather,
+                params.dt, params.collision_margin, g_len, gather,
             )
-        return jnp.max(jnp.where(near, v2, 0.0)) <= thresh
+        return comm.pmax(jnp.max(jnp.where(near, v2, 0.0))) <= thresh
 
     return lax.cond(ok_global, lambda _: jnp.bool_(True), refined, operand=None)
 
@@ -191,13 +197,18 @@ def predict(b, params):
 
 
 def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
-             linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params):
+             linvel, angvel, lam_c, sep_slots, once, overflow, sanitized,
+             params, comm=None):
     """Phases 5+6: velocity reconstruction + damping (solver.cpp:433-469)
     and diagnostics (solver.cpp:471-513).
 
     ``sep_slots``: (4, D, G, 128) raw contact separations at the final
     poses (the backend's last geometry evaluation).  ``once``: (D, G, 128)
-    mask selecting exactly one replica per pair for counting."""
+    mask selecting exactly one replica per pair for counting.  ``comm``:
+    collective seam — on a body-sharded world the diagnostics scalars are
+    all-reduced so every shard carries the global values."""
+    if comm is None:
+        from .comm import LOCAL_COMM as comm
     n = b.n
     g = n // 128
     dt = params.dt
@@ -243,17 +254,19 @@ def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         )
 
     diag = Diagnostics(
-        max_penetration=jnp.maximum(max_pen, 0.0),
-        max_constraint_violation=jnp.maximum(max_violation, 0.0),
-        max_linear_speed=jnp.max(lin_speed, initial=0.0),
-        max_angular_speed=jnp.max(ang_speed, initial=0.0),
-        max_normal_impulse=max_lam_n,
-        active_contacts=jnp.sum(jnp.where(once, contacts.count, 0)),
-        active_manifolds=jnp.sum((once & (contacts.count > 0)).astype(jnp.int32)),
-        dynamic_bodies=jnp.sum(dyn_n.astype(jnp.int32)),
+        max_penetration=comm.pmax(jnp.maximum(max_pen, 0.0)),
+        max_constraint_violation=comm.pmax(jnp.maximum(max_violation, 0.0)),
+        max_linear_speed=comm.pmax(jnp.max(lin_speed, initial=0.0)),
+        max_angular_speed=comm.pmax(jnp.max(ang_speed, initial=0.0)),
+        max_normal_impulse=comm.pmax(max_lam_n),
+        active_contacts=comm.psum(jnp.sum(jnp.where(once, contacts.count, 0))),
+        active_manifolds=comm.psum(
+            jnp.sum((once & (contacts.count > 0)).astype(jnp.int32))
+        ),
+        dynamic_bodies=comm.psum(jnp.sum(dyn_n.astype(jnp.int32))),
         pair_overflow=overflow,
         degree_overflow=jnp.int32(0),
-        sanitized=sanitized,
+        sanitized=comm.psum(sanitized),
     )
 
     return world.replace(
@@ -274,12 +287,12 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     if params.fall_freeze_y > -1.0e8:
         b = world.bodies
         frozen = b.dynamic & (b.pos[1] < params.fall_freeze_y)
-        if True:  # traced; cheap no-op when nothing is frozen
-            world = world.replace(bodies=b.replace(
-                linvel=jnp.where(frozen[None], 0.0, b.linvel),
-                angvel=jnp.where(frozen[None], 0.0, b.angvel),
-                inv_mass=jnp.where(frozen, 0.0, b.inv_mass),
-            ))
+        # Traced; cheap no-op when nothing is frozen.
+        world = world.replace(bodies=b.replace(
+            linvel=jnp.where(frozen[None], 0.0, b.linvel),
+            angvel=jnp.where(frozen[None], 0.0, b.angvel),
+            inv_mass=jnp.where(frozen, 0.0, b.inv_mass),
+        ))
     # Backend dispatch (trace-time static): the Pallas mega-kernel path
     # covers scenes (with or without joints/springs) up to 2048 bodies —
     # proven on hardware; at G=33 groups (4224 bodies) this environment's
@@ -402,12 +415,26 @@ def _ballistic_step(world: World, params: SolverParams, cap: Capacity) -> World:
     )
 
 
-def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> World:
+def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
+               comm=None) -> World:
+    """Portable whole-step implementation.
+
+    ``comm`` (avbd3d_tpu.comm): collective seam.  With the default
+    LocalComm every call is the identity and this is the single-device
+    XLA path.  Inside ``parallel.sharded``'s shard_map the same code runs
+    on this shard's (G_loc, 128) body rows: partner reads go through an
+    all-gather-backed ``gather``, step-level gates and diagnostics are
+    all-reduced, and own-body indices are offset to global ids."""
+    if comm is None:
+        from .comm import LOCAL_COMM as comm
     b = world.bodies
     n = b.n
     g = n // 128
     dt = params.dt
     tables = body_tables(b)
+    sharded = comm.n_shards > 1
+    own_iota = (rep.body_iota(g) + comm.row0(n)) if sharded else None
+    n_total = n * comm.n_shards
 
     # ------------------------------------------------------------------
     # Phase 1: broadphase (solver.cpp:261-270) — margin-enlarged candidate
@@ -416,16 +443,21 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     # ------------------------------------------------------------------
     bp = refresh_or_reuse(
         world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
-        cap.max_degree, params.bp_margin,
+        cap.max_degree, params.bp_margin, comm=comm,
     )
     world = world.replace(bp=bp)
-    neighbors, kept = symmetric_filter(bp.nb, bp.key, bp.thr, b.dynamic, gather)
-    overflow = bp.cand - kept
+    neighbors, kept = symmetric_filter(
+        bp.nb, bp.key, bp.thr, b.dynamic, gather,
+        own_iota=own_iota, n_total=n_total if sharded else None,
+    )
+    overflow = bp.cand - comm.psum(kept)
 
     # ------------------------------------------------------------------
     # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
     # ------------------------------------------------------------------
-    contacts = rep.collide_and_init(world.contacts, neighbors, tables, params, gather)
+    contacts = rep.collide_and_init(
+        world.contacts, neighbors, tables, params, gather, own_iota=own_iota
+    )
     joints = joint_decay(world.joints, params)
     springs = spring_decay(world.springs, params)
     consts = rep.pair_constants(contacts.other, tables, gather)
@@ -560,7 +592,9 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
 
         # --- dual (solver.cpp:411-429) at the post-primal poses; the same
         # geometry evaluation feeds the next iteration's primal ---
-        geom2 = rep.eval_geometry(contacts, pose_dict(new_pos, new_quat), consts, gather)
+        geom2 = rep.eval_geometry(
+            contacts, pose_dict(new_pos, new_quat), consts, gather, own_iota
+        )
         crs2 = rep.eval_rows(
             geom2, contacts, consts, jnp.stack(crs["lam"]), pen_c,
             jnp.stack(crs["stick"]), alpha_cur, params,
@@ -586,7 +620,9 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         return (new_pos, new_quat, geom2, lam_c, pen_c, stick, lam_j, pen_j,
                 san, cmat)
 
-    geom0 = rep.eval_geometry(contacts, pose_dict(pos_start, quat_start), consts, gather)
+    geom0 = rep.eval_geometry(
+        contacts, pose_dict(pos_start, quat_start), consts, gather, own_iota
+    )
     zmat = tuple(jnp.zeros((g, 128), jnp.float32) for _ in range(24))
     carry0 = (
         pos_start,
@@ -609,15 +645,23 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
         # ramp every iteration — exactly the k=1 cadence.  The former
         # lax.cond between two whole phase-4 graphs doubled the traced step
         # graph (and XLA compile time) for identical values.
-        fresh = ~stale_lhs_ok(b, bp, params)
+        fresh = ~stale_lhs_ok(b, bp, params, comm=comm, gather=gather)
+        k_fr = max(1, params.lhs_fresh_rebuild_every)
 
         def loop_body(it, c):
             j = it % k_re
-            return iteration(
-                it, c,
-                rebuild=(j == 0) | fresh,
-                ramp_pen=(j == k_re - 1) | (it == total_iters - 1) | fresh,
-            )
+            rb_st = j == 0
+            rp_st = (j == k_re - 1) | (it == total_iters - 1)
+            if k_fr == 1:
+                rb = rb_st | fresh
+                rp = rp_st | fresh
+            else:
+                jf = it % k_fr
+                rb = jnp.where(fresh, jf == 0, rb_st)
+                rp = jnp.where(
+                    fresh, (jf == k_fr - 1) | (it == total_iters - 1), rp_st
+                )
+            return iteration(it, c, rebuild=rb, ramp_pen=rp)
 
         carry = lax.fori_loop(0, total_iters, loop_body, carry0)
     else:
@@ -632,18 +676,22 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather) -> Wor
     joints = joints.replace(lam=lam_j, penalty=pen_j)
 
     # Final-pose separations for diagnostics from one more geometry eval.
-    geom_f = rep.eval_geometry(contacts, pose_dict(pos_f, quat_f), consts, gather)
+    geom_f = rep.eval_geometry(
+        contacts, pose_dict(pos_f, quat_f), consts, gather, own_iota
+    )
     sep_slots = jnp.stack(geom_f["sep"])
 
     # Count each pair at one replica: the lower-index side, or the dynamic
     # side when the partner is static (static bodies own no slots).
     valid = consts["valid"]
     other_dyn = gather(dyn.astype(jnp.float32).reshape(g, 128), consts["idx"]) > 0.5
-    once = valid & ((rep.body_iota(g)[None] < consts["idx"]) | ~other_dyn)
+    own_n = rep.body_iota(g) if own_iota is None else own_iota
+    once = valid & ((own_n[None] < consts["idx"]) | ~other_dyn)
 
     return finalize(
         world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params,
+        comm=comm,
     )
 
 

@@ -251,402 +251,401 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
     g_len = float(sum(x * x for x in grav) ** 0.5)
     ghat = tuple(x / g_len for x in grav) if g_len > 1e-5 else (0.0, 0.0, 0.0)
 
-    if True:  # keep the original kernel-body indentation
-        pos0 = tuple(pos_r[k] for k in range(3))
-        quat0 = tuple(quat_r[k] for k in range(4))
-        mass = mass_r[:]
-        inv_mass = invm_r[:]
-        inertia = tuple(inertia_r[k] for k in range(3))
-        inv_inertia = tuple(inv_inertia_r[k] for k in range(3))
-        dyn = inv_mass > 0.0
-        dynf = dyn.astype(jnp.float32)
-        san = jnp.float32(0.0)
+    pos0 = tuple(pos_r[k] for k in range(3))
+    quat0 = tuple(quat_r[k] for k in range(4))
+    mass = mass_r[:]
+    inv_mass = invm_r[:]
+    inertia = tuple(inertia_r[k] for k in range(3))
+    inv_inertia = tuple(inv_inertia_r[k] for k in range(3))
+    dyn = inv_mass > 0.0
+    dynf = dyn.astype(jnp.float32)
+    san = jnp.float32(0.0)
 
-        body = {
-            "pos": pos0,
-            "quat": quat0,
-            "inv_mass": inv_mass,
-            "friction": fric_r[:],
-        }
-        consts = rep.pair_constants(cache.other, body, gather)
+    body = {
+        "pos": pos0,
+        "quat": quat0,
+        "inv_mass": inv_mass,
+        "friction": fric_r[:],
+    }
+    consts = rep.pair_constants(cache.other, body, gather)
 
-        # ---- joints/springs: phase-2 decay (solver.cpp:281-293) and the
-        # replicated row machinery (ops/joints.py, ops/springs.py) ----
-        from .ops.joints import (
-            joint_accumulate, joint_decay, joint_dual, joint_force,
-            joint_geometry,
+    # ---- joints/springs: phase-2 decay (solver.cpp:281-293) and the
+    # replicated row machinery (ops/joints.py, ops/springs.py) ----
+    from .ops.joints import (
+        joint_accumulate, joint_decay, joint_dual, joint_force,
+        joint_geometry,
+    )
+    from .ops.springs import (
+        spring_accumulate, spring_decay, spring_force, spring_geometry,
+    )
+
+    has_j = joints is not None and joints.dj > 0
+    has_s = springs is not None and springs.ds > 0
+    if has_j:
+        joints = joint_decay(joints, params)
+    if has_s:
+        springs = spring_decay(springs, params)
+    s_pen = springs.penalty if has_s else None
+    ncol = n_colors if has_j else 1  # colors exist only for hard joints
+    color = joints.color if has_j else None
+
+    # ---- phase 3: prediction (solver.cpp:299-337) ----
+    lv_in = tuple(lv_r[k] for k in range(3))
+    av_in = tuple(av_r[k] for k in range(3))
+    plv = tuple(plv_r[k] for k in range(3))
+    lv, san = _san3(lv_in, (0.0, 0.0, 0.0), san)
+    w_norm = jnp.sqrt(cm.length_sq(av_in))
+    w_scale = jnp.where(
+        w_norm > params.max_angular_speed,
+        params.max_angular_speed / jnp.maximum(w_norm, 1e-12),
+        1.0,
+    )
+    av = tuple(c * w_scale for c in av_in)
+    av, san = _san3(av, (0.0, 0.0, 0.0), san)
+
+    ip = tuple(
+        jnp.where(dyn, pos0[k] + lv[k] * dt + grav[k] * dt * dt, pos0[k])
+        for k in range(3)
+    )
+    omega = (av[0], av[1], av[2], jnp.zeros_like(av[0]))
+    oq = cm.q_mul(omega, quat0)
+    iq = _q_normalize(tuple(quat0[k] + oq[k] * (0.5 * dt) for k in range(4)))
+    iq = tuple(jnp.where(dyn, iq[k], quat0[k]) for k in range(4))
+
+    if g_len > 1e-5:
+        proj = sum((lv[k] - plv[k]) / dt * ghat[k] for k in range(3))
+        aw = jnp.clip(proj / g_len, 0.0, 1.0)
+        aw = jnp.where(jnp.isfinite(aw), aw, 0.0)
+    else:
+        aw = jnp.zeros_like(mass)
+    ps = tuple(
+        pos0[k] + (lv[k] * dt + grav[k] * (aw * dt * dt)) * dynf
+        for k in range(3)
+    )
+    ps, san = _san3(ps, pos0, san)
+    qs = iq
+
+    static = rep.geometry_static(cache, consts)
+
+    def geom_at(pos, quat):
+        return rep.geometry_pose(
+            cache, static, {"pos": pos, "quat": quat}, consts, gather
         )
-        from .ops.springs import (
-            spring_accumulate, spring_decay, spring_force, spring_geometry,
-        )
 
-        has_j = joints is not None and joints.dj > 0
-        has_s = springs is not None and springs.ds > 0
-        if has_j:
-            joints = joint_decay(joints, params)
-        if has_s:
-            springs = spring_decay(springs, params)
-        s_pen = springs.penalty if has_s else None
-        ncol = n_colors if has_j else 1  # colors exist only for hard joints
-        color = joints.color if has_j else None
-
-        # ---- phase 3: prediction (solver.cpp:299-337) ----
-        lv_in = tuple(lv_r[k] for k in range(3))
-        av_in = tuple(av_r[k] for k in range(3))
-        plv = tuple(plv_r[k] for k in range(3))
-        lv, san = _san3(lv_in, (0.0, 0.0, 0.0), san)
-        w_norm = jnp.sqrt(cm.length_sq(av_in))
-        w_scale = jnp.where(
-            w_norm > params.max_angular_speed,
-            params.max_angular_speed / jnp.maximum(w_norm, 1e-12),
-            1.0,
-        )
-        av = tuple(c * w_scale for c in av_in)
-        av, san = _san3(av, (0.0, 0.0, 0.0), san)
-
-        ip = tuple(
-            jnp.where(dyn, pos0[k] + lv[k] * dt + grav[k] * dt * dt, pos0[k])
-            for k in range(3)
-        )
-        omega = (av[0], av[1], av[2], jnp.zeros_like(av[0]))
-        oq = cm.q_mul(omega, quat0)
-        iq = _q_normalize(tuple(quat0[k] + oq[k] * (0.5 * dt) for k in range(4)))
-        iq = tuple(jnp.where(dyn, iq[k], quat0[k]) for k in range(4))
-
-        if g_len > 1e-5:
-            proj = sum((lv[k] - plv[k]) / dt * ghat[k] for k in range(3))
-            aw = jnp.clip(proj / g_len, 0.0, 1.0)
-            aw = jnp.where(jnp.isfinite(aw), aw, 0.0)
-        else:
-            aw = jnp.zeros_like(mass)
-        ps = tuple(
-            pos0[k] + (lv[k] * dt + grav[k] * (aw * dt * dt)) * dynf
-            for k in range(3)
-        )
-        ps, san = _san3(ps, pos0, san)
-        qs = iq
-
-        static = rep.geometry_static(cache, consts)
-
-        def geom_at(pos, quat):
-            return rep.geometry_pose(
-                cache, static, {"pos": pos, "quat": quat}, consts, gather
-            )
-
-        def flat_geom(geom):
-            out = []
-            for s in range(4):
-                out.extend(geom["rw_a"][s])
-                out.extend(geom["rw_b"][s])
-            out.extend(geom["sep"])
-            out.extend(geom["slip1"])
-            out.extend(geom["slip2"])
-            return tuple(out)
-
-        def unflat_geom(t):
-            rw_a = [tuple(t[s * 6 + k] for k in range(3)) for s in range(4)]
-            rw_b = [tuple(t[s * 6 + 3 + k] for k in range(3)) for s in range(4)]
-            return {
-                "basis": static["basis"],
-                "rw_a": rw_a,
-                "rw_b": rw_b,
-                "sep": list(t[24:28]),
-                "slip1": list(t[28:32]),
-                "slip2": list(t[32:36]),
-                "is_a": static["is_a"],
-                "slot_ok": static["slot_ok"],
-            }
-
-        # ---- phase 4: the iterative solve (solver.cpp:340-431).  The
-        # geometry evaluated by the dual pass at the post-primal poses is
-        # carried into the next iteration's primal pass (one evaluation per
-        # iteration, like the reference's per-iteration computeConstraint).
-        # The 6x6 Hessian (penalty outer products + gyro) is rebuilt every
-        # params.lhs_rebuild_every iterations and carried in between
-        # (modified Newton; the gradient is always fresh so the converged
-        # fixed point is unchanged).
-        def one_iteration(it, carry, rebuild, ramp_pen=True):
-            px, py, pz, q0, q1, q2, q3 = carry[:7]
-            geom = unflat_geom(carry[7:43])
-            lam, pen, stick_f = carry[43:46]
-            mat = list(carry[46:70])
-            if has_j:
-                j_lam, j_pen = carry[70], carry[71]
-            pos = (px, py, pz)
-            quat = (q0, q1, q2, q3)
-            stick = stick_f > 0.5
-            if params.post_stabilize:
-                alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
-            else:
-                alpha_cur = jnp.float32(params.alpha)
-
-            rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
-            f = rep.primal_force(rows, pen)
-
-            # ``rebuild``: True = always rebuild (k=1 cadence, and every
-            # iteration of the unrolled Mosaic block head); False = static
-            # stale iteration (unrolled Mosaic block body); traced bool =
-            # block-head test inside the single-fori CPU-twin/XLA form,
-            # where one small lax.cond keeps the iteration body traced
-            # exactly once per step graph.
-            def _fresh_mat(_):
-                iiw = _world_inertia_comps(quat, inv_inertia)
-                m = rep.body_matrix(geom, f, pen, iiw)
-                return tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
-
-            if rebuild is True:
-                mat = list(_fresh_mat(None))
-            elif rebuild is False:
-                pass  # static stale iteration (unrolled Mosaic block body)
-            else:
-                mat = list(lax.cond(rebuild, _fresh_mat,
-                                    lambda _: tuple(mat), operand=None))
-            m_ll, m_la, m_aa, gyro = mat[:6], mat[6:15], mat[15:21], mat[21:24]
-            forces = rep.body_forces(geom, f)
-
-            # Primal color sub-passes: contacts stay Jacobi (iteration-start
-            # geometry/forces); joints/springs are Gauss-Seidel across the
-            # colored hard-joint graph, re-evaluated at the newest poses per
-            # pass.  Contact-only scenes take exactly one pass.
-            cur_pos, cur_quat = pos, quat
-            for ci in range(ncol):
-                jacc = sacc = None
-                if has_j:
-                    jg = joint_geometry(
-                        joints, {"pos": cur_pos, "quat": cur_quat}, gather
-                    )
-                    fj = joint_force(jg, joints, j_lam, j_pen)
-                    jacc = joint_accumulate(jg, fj, j_pen)
-                if has_s:
-                    sg = spring_geometry(
-                        springs, {"pos": cur_pos, "quat": cur_quat}, gather
-                    )
-                    fs = spring_force(sg, s_pen)
-                    sacc = spring_accumulate(sg, fs, s_pen)
-
-                iw = _world_inertia_comps(cur_quat, inertia)
-                rhs_l = list(
-                    mass * (cur_pos[k] - ip[k]) * inv_dt2 + forces["F"][k]
-                    for k in range(3)
-                )
-                q_err = cm.q_mul(cur_quat, (-iq[0], -iq[1], -iq[2], iq[3]))
-                sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
-                rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
-                rhs_a = [
-                    (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
-                    (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
-                    (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
-                ]
-
-                m_dt2 = mass * inv_dt2
-                a_ll = [
-                    m_ll[0] + m_dt2, m_ll[1], m_ll[2],
-                    m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
-                ]
-                a_la = list(m_la)
-                a_aa = [
-                    m_aa[0] + iw[0] * inv_dt2 + gyro[0],
-                    m_aa[1] + iw[1] * inv_dt2,
-                    m_aa[2] + iw[2] * inv_dt2,
-                    m_aa[3] + iw[3] * inv_dt2 + gyro[1],
-                    m_aa[4] + iw[4] * inv_dt2,
-                    m_aa[5] + iw[5] * inv_dt2 + gyro[2],
-                ]
-                for acc in (jacc, sacc):
-                    if acc is None:
-                        continue
-                    for k in range(3):
-                        rhs_l[k] = rhs_l[k] + acc["F"][k]
-                        rhs_a[k] = rhs_a[k] + acc["T"][k]
-                    for k in range(6):
-                        a_ll[k] = a_ll[k] + acc["m_ll"][k]
-                        a_aa[k] = a_aa[k] + acc["m_aa"][k]
-                    for k in range(9):
-                        a_la[k] = a_la[k] + acc["m_la"][k]
-
-                dl, da = solve66_cm(tuple(a_ll), tuple(a_la), tuple(a_aa),
-                                    tuple(rhs_l), tuple(rhs_a))
-
-                if ncol > 1:
-                    applyf = dynf * (color == ci).astype(jnp.float32)
-                    applyb = dyn & (color == ci)
-                else:
-                    applyf, applyb = dynf, dyn
-                new_pos = tuple(cur_pos[k] - relax * dl[k] * applyf for k in range(3))
-                dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
-                               jnp.zeros_like(da[0])), cur_quat)
-                nq = _q_normalize(tuple(cur_quat[k] - 0.5 * dq[k] for k in range(4)))
-                nq = tuple(jnp.where(applyb, nq[k], cur_quat[k]) for k in range(4))
-                cur_pos, cur_quat = new_pos, nq
-            new_pos, nq = cur_pos, cur_quat
-
-            geom2 = geom_at(new_pos, nq)
-            rows2 = rep.eval_rows(
-                geom2, cache, consts, jnp.stack(rows["lam"]), pen,
-                jnp.stack(rows["stick"]), alpha_cur, params,
-            )
-            lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
-            do_dual = it < params.iterations
-            lam = jnp.where(do_dual, lam2, jnp.stack(rows2["lam"]))
-            # Penalty ramps only when the Hessian will be rebuilt before its
-            # next use (classic augmented-Lagrangian cadence: inner Newton
-            # iterations on a FIXED penalty, ramp at block boundaries).
-            # Ramping mid-block while H is stale makes the gradient stiffer
-            # than the curvature and pumps bounce energy (a 10-cube stack
-            # never settles).  With lhs_rebuild_every=1 every iteration
-            # ramps — reference-exact (solver.cpp:411-429).  ``ramp_pen``
-            # may be traced (block-tail test inside the single fori body).
-            if ramp_pen is not False:
-                pen = jnp.where(do_dual & ramp_pen, pen2, pen)
-            stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
-            out = (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
-                   nq[3]) + flat_geom(geom2) + (
-                       lam, pen, stick.astype(jnp.float32)) + tuple(mat)
-            if has_j:
-                # Joint rows are always fresh in the Hessian, so their ramp
-                # cadence stays per-iteration (reference-exact).
-                jg2 = joint_geometry(joints, {"pos": new_pos, "quat": nq}, gather)
-                j_lam2, j_pen2 = joint_dual(jg2, joints, j_lam, j_pen,
-                                            params.beta, params)
-                j_lam = jnp.where(do_dual, j_lam2, j_lam)
-                j_pen = jnp.where(do_dual, j_pen2, j_pen)
-                out = out + (j_lam, j_pen)
-            return out
-
-        geom0 = geom_at(ps, qs)
-        zmat = tuple(jnp.zeros_like(mass) for _ in range(24))
-        carry = (
-            ps[0], ps[1], ps[2], qs[0], qs[1], qs[2], qs[3],
-        ) + flat_geom(geom0) + (
-            cache.lam, cache.penalty, cache.stick.astype(jnp.float32),
-        ) + zmat
-        if has_j:
-            carry = carry + (joints.lam, joints.penalty)
-
-        k_re = max(1, params.lhs_rebuild_every)
-        if unroll and k_re > 1:
-            # Mosaic fused-kernel path: statically unrolled cadence blocks
-            # (rebuild/ramp as Python constants, no in-kernel cond).  The
-            # cond variant below costs ~20% settled-regime throughput in
-            # Mosaic (measured on Stress1000), so the TPU kernel keeps the
-            # unrolled form; the CPU twin keeps the small graph.
-            blocks, block_tail = divmod(total_iters, k_re)
-
-            def block_body(bi, c):
-                it0 = bi * k_re
-                for j in range(k_re):
-                    c = one_iteration(it0 + j, c, rebuild=(j == 0),
-                                      ramp_pen=(j == k_re - 1))
-                return c
-
-            if blocks > 0:
-                carry = lax.fori_loop(0, blocks, block_body, carry)
-            for j in range(block_tail):
-                carry = one_iteration(
-                    jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0),
-                    ramp_pen=(j == block_tail - 1),
-                )
-        else:
-            if k_re > 1:
-                # One fori over all iterations; rebuild on block heads
-                # (it % k == 0), ramp at block tails and the final
-                # iteration — value-identical to the unrolled-block
-                # structure, with the iteration body traced exactly once.
-                # ``fresh`` (traced bool, CPU twin only) folds the speed
-                # gate in: a fresh step rebuilds and ramps every iteration,
-                # the exact k=1 cadence.
-                def loop_body(it, c):
-                    j = it % k_re
-                    rb = j == 0
-                    rp = (j == k_re - 1) | (it == total_iters - 1)
-                    if fresh is not None:
-                        rb = rb | fresh
-                        rp = rp | fresh
-                    return one_iteration(it, c, rebuild=rb, ramp_pen=rp)
-            else:
-
-                def loop_body(it, c):
-                    return one_iteration(it, c, rebuild=True, ramp_pen=True)
-
-            carry = lax.fori_loop(0, total_iters, loop_body, carry)
-        px, py, pz, q0, q1, q2, q3 = carry[:7]
-        geom_f = unflat_geom(carry[7:43])
-        lam, pen, stick_f = carry[43:46]
-        j_lam_f, j_pen_f = (carry[70], carry[71]) if has_j else (None, None)
-        pos_f = (px, py, pz)
-        quat_f = (q0, q1, q2, q3)
-        pos_f, san = _san3(pos_f, pos0, san)
-        quat_f, san = _san4(quat_f, quat0, san)
-
-        # ---- phase 5: velocity reconstruction + damping (solver.cpp:433-469)
-        nlv = tuple(
-            jnp.where(dyn, (pos_f[k] - pos0[k]) / dt * params.linear_damping, lv_in[k])
-            for k in range(3)
-        )
-        dqv = cm.q_mul(quat_f, (-quat0[0], -quat0[1], -quat0[2], quat0[3]))
-        vsgn = jnp.where(dqv[3] < 0.0, -2.0, 2.0)
-        nav = tuple(
-            jnp.where(dyn, dqv[k] * vsgn / dt * params.angular_damping, av_in[k])
-            for k in range(3)
-        )
-        nlv, san = _san3(nlv, (0.0, 0.0, 0.0), san)
-        nav, san = _san3(nav, (0.0, 0.0, 0.0), san)
-
-        # ---- phase 6: diagnostics (solver.cpp:471-513) ----
-        # geom_f is the loop's final geometry, evaluated at the final poses
-        # (the sanitize above only changes poses in pathological NaN cases).
-        other_dyn = gather(dynf, consts["idx"]) > 0.5
-        iota = rep.body_iota(dynf.shape[0])[None]
-        once = consts["valid"] & ((iota < consts["idx"]) | ~other_dyn)
-
-        max_pen = jnp.float32(0.0)
-        max_drift = jnp.float32(0.0)
-        max_lam_n = jnp.float32(0.0)
+    def flat_geom(geom):
+        out = []
         for s in range(4):
-            ok = geom_f["slot_ok"][s]
-            sep = geom_f["sep"][s]
-            max_pen = jnp.maximum(max_pen, jnp.max(jnp.where(ok, -sep, 0.0)))
-            max_drift = jnp.maximum(
-                max_drift, jnp.max(jnp.where(ok, params.penetration_slop - sep, 0.0))
-            )
-            max_lam_n = jnp.maximum(
-                max_lam_n, jnp.max(jnp.where(ok, jnp.abs(lam[s * 3]), 0.0))
-            )
-        max_pen = jnp.maximum(max_pen, 0.0)
-        max_drift = jnp.maximum(max_drift, 0.0)
+            out.extend(geom["rw_a"][s])
+            out.extend(geom["rw_b"][s])
+        out.extend(geom["sep"])
+        out.extend(geom["slip1"])
+        out.extend(geom["slip2"])
+        return tuple(out)
 
-        oncef = once.astype(jnp.float32)
-        n_contacts = jnp.sum(jnp.where(once, cache.count, 0).astype(jnp.float32))
-        n_manifolds = jnp.sum(oncef * (cache.count > 0).astype(jnp.float32))
-        n_dyn = jnp.sum(dynf)
-        max_lin = jnp.max(jnp.sqrt(cm.length_sq(nlv)) * dynf)
-        max_ang = jnp.max(jnp.sqrt(cm.length_sq(nav)) * dynf)
+    def unflat_geom(t):
+        rw_a = [tuple(t[s * 6 + k] for k in range(3)) for s in range(4)]
+        rw_b = [tuple(t[s * 6 + 3 + k] for k in range(3)) for s in range(4)]
+        return {
+            "basis": static["basis"],
+            "rw_a": rw_a,
+            "rw_b": rw_b,
+            "sep": list(t[24:28]),
+            "slip1": list(t[28:32]),
+            "slip2": list(t[32:36]),
+            "is_a": static["is_a"],
+            "slot_ok": static["slot_ok"],
+        }
 
-        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        diag_vals = (max_pen, max_drift, max_lin, max_ang, max_lam_n,
-                     n_contacts, n_manifolds, n_dyn, san)
-        acc = jnp.zeros((8, 128), jnp.float32)
-        for k, v in enumerate(diag_vals):
-            acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
-
-        out = (
-            jnp.stack(pos_f),
-            jnp.stack(quat_f),
-            jnp.stack(nlv),
-            jnp.stack(nav),
-            jnp.stack(tuple(jnp.where(dyn, lv[k], plv[k]) for k in range(3))),
-            jnp.stack(tuple(jnp.where(dyn, av[k], av_in[k]) for k in range(3))),
-            lam,
-            pen,
-            stick_f,
-            acc,
-        )
+    # ---- phase 4: the iterative solve (solver.cpp:340-431).  The
+    # geometry evaluated by the dual pass at the post-primal poses is
+    # carried into the next iteration's primal pass (one evaluation per
+    # iteration, like the reference's per-iteration computeConstraint).
+    # The 6x6 Hessian (penalty outer products + gyro) is rebuilt every
+    # params.lhs_rebuild_every iterations and carried in between
+    # (modified Newton; the gradient is always fresh so the converged
+    # fixed point is unchanged).
+    def one_iteration(it, carry, rebuild, ramp_pen=True):
+        px, py, pz, q0, q1, q2, q3 = carry[:7]
+        geom = unflat_geom(carry[7:43])
+        lam, pen, stick_f = carry[43:46]
+        mat = list(carry[46:70])
         if has_j:
-            out = out + (j_lam_f, j_pen_f)
-        if has_s:
-            out = out + (s_pen,)
+            j_lam, j_pen = carry[70], carry[71]
+        pos = (px, py, pz)
+        quat = (q0, q1, q2, q3)
+        stick = stick_f > 0.5
+        if params.post_stabilize:
+            alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
+        else:
+            alpha_cur = jnp.float32(params.alpha)
+
+        rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
+        f = rep.primal_force(rows, pen)
+
+        # ``rebuild``: True = always rebuild (k=1 cadence, and every
+        # iteration of the unrolled Mosaic block head); False = static
+        # stale iteration (unrolled Mosaic block body); traced bool =
+        # block-head test inside the single-fori CPU-twin/XLA form,
+        # where one small lax.cond keeps the iteration body traced
+        # exactly once per step graph.
+        def _fresh_mat(_):
+            iiw = _world_inertia_comps(quat, inv_inertia)
+            m = rep.body_matrix(geom, f, pen, iiw)
+            return tuple(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
+
+        if rebuild is True:
+            mat = list(_fresh_mat(None))
+        elif rebuild is False:
+            pass  # static stale iteration (unrolled Mosaic block body)
+        else:
+            mat = list(lax.cond(rebuild, _fresh_mat,
+                                lambda _: tuple(mat), operand=None))
+        m_ll, m_la, m_aa, gyro = mat[:6], mat[6:15], mat[15:21], mat[21:24]
+        forces = rep.body_forces(geom, f)
+
+        # Primal color sub-passes: contacts stay Jacobi (iteration-start
+        # geometry/forces); joints/springs are Gauss-Seidel across the
+        # colored hard-joint graph, re-evaluated at the newest poses per
+        # pass.  Contact-only scenes take exactly one pass.
+        cur_pos, cur_quat = pos, quat
+        for ci in range(ncol):
+            jacc = sacc = None
+            if has_j:
+                jg = joint_geometry(
+                    joints, {"pos": cur_pos, "quat": cur_quat}, gather
+                )
+                fj = joint_force(jg, joints, j_lam, j_pen)
+                jacc = joint_accumulate(jg, fj, j_pen)
+            if has_s:
+                sg = spring_geometry(
+                    springs, {"pos": cur_pos, "quat": cur_quat}, gather
+                )
+                fs = spring_force(sg, s_pen)
+                sacc = spring_accumulate(sg, fs, s_pen)
+
+            iw = _world_inertia_comps(cur_quat, inertia)
+            rhs_l = list(
+                mass * (cur_pos[k] - ip[k]) * inv_dt2 + forces["F"][k]
+                for k in range(3)
+            )
+            q_err = cm.q_mul(cur_quat, (-iq[0], -iq[1], -iq[2], iq[3]))
+            sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
+            rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
+            rhs_a = [
+                (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
+                (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
+                (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
+            ]
+
+            m_dt2 = mass * inv_dt2
+            a_ll = [
+                m_ll[0] + m_dt2, m_ll[1], m_ll[2],
+                m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
+            ]
+            a_la = list(m_la)
+            a_aa = [
+                m_aa[0] + iw[0] * inv_dt2 + gyro[0],
+                m_aa[1] + iw[1] * inv_dt2,
+                m_aa[2] + iw[2] * inv_dt2,
+                m_aa[3] + iw[3] * inv_dt2 + gyro[1],
+                m_aa[4] + iw[4] * inv_dt2,
+                m_aa[5] + iw[5] * inv_dt2 + gyro[2],
+            ]
+            for acc in (jacc, sacc):
+                if acc is None:
+                    continue
+                for k in range(3):
+                    rhs_l[k] = rhs_l[k] + acc["F"][k]
+                    rhs_a[k] = rhs_a[k] + acc["T"][k]
+                for k in range(6):
+                    a_ll[k] = a_ll[k] + acc["m_ll"][k]
+                    a_aa[k] = a_aa[k] + acc["m_aa"][k]
+                for k in range(9):
+                    a_la[k] = a_la[k] + acc["m_la"][k]
+
+            dl, da = solve66_cm(tuple(a_ll), tuple(a_la), tuple(a_aa),
+                                tuple(rhs_l), tuple(rhs_a))
+
+            if ncol > 1:
+                applyf = dynf * (color == ci).astype(jnp.float32)
+                applyb = dyn & (color == ci)
+            else:
+                applyf, applyb = dynf, dyn
+            new_pos = tuple(cur_pos[k] - relax * dl[k] * applyf for k in range(3))
+            dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
+                           jnp.zeros_like(da[0])), cur_quat)
+            nq = _q_normalize(tuple(cur_quat[k] - 0.5 * dq[k] for k in range(4)))
+            nq = tuple(jnp.where(applyb, nq[k], cur_quat[k]) for k in range(4))
+            cur_pos, cur_quat = new_pos, nq
+        new_pos, nq = cur_pos, cur_quat
+
+        geom2 = geom_at(new_pos, nq)
+        rows2 = rep.eval_rows(
+            geom2, cache, consts, jnp.stack(rows["lam"]), pen,
+            jnp.stack(rows["stick"]), alpha_cur, params,
+        )
+        lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
+        do_dual = it < params.iterations
+        lam = jnp.where(do_dual, lam2, jnp.stack(rows2["lam"]))
+        # Penalty ramps only when the Hessian will be rebuilt before its
+        # next use (classic augmented-Lagrangian cadence: inner Newton
+        # iterations on a FIXED penalty, ramp at block boundaries).
+        # Ramping mid-block while H is stale makes the gradient stiffer
+        # than the curvature and pumps bounce energy (a 10-cube stack
+        # never settles).  With lhs_rebuild_every=1 every iteration
+        # ramps — reference-exact (solver.cpp:411-429).  ``ramp_pen``
+        # may be traced (block-tail test inside the single fori body).
+        if ramp_pen is not False:
+            pen = jnp.where(do_dual & ramp_pen, pen2, pen)
+        stick = cm.bwhere(do_dual, stick2, jnp.stack(rows2["stick"]))
+        out = (new_pos[0], new_pos[1], new_pos[2], nq[0], nq[1], nq[2],
+               nq[3]) + flat_geom(geom2) + (
+                   lam, pen, stick.astype(jnp.float32)) + tuple(mat)
+        if has_j:
+            # Joint rows are always fresh in the Hessian, so their ramp
+            # cadence stays per-iteration (reference-exact).
+            jg2 = joint_geometry(joints, {"pos": new_pos, "quat": nq}, gather)
+            j_lam2, j_pen2 = joint_dual(jg2, joints, j_lam, j_pen,
+                                        params.beta, params)
+            j_lam = jnp.where(do_dual, j_lam2, j_lam)
+            j_pen = jnp.where(do_dual, j_pen2, j_pen)
+            out = out + (j_lam, j_pen)
         return out
+
+    geom0 = geom_at(ps, qs)
+    zmat = tuple(jnp.zeros_like(mass) for _ in range(24))
+    carry = (
+        ps[0], ps[1], ps[2], qs[0], qs[1], qs[2], qs[3],
+    ) + flat_geom(geom0) + (
+        cache.lam, cache.penalty, cache.stick.astype(jnp.float32),
+    ) + zmat
+    if has_j:
+        carry = carry + (joints.lam, joints.penalty)
+
+    k_re = max(1, params.lhs_rebuild_every)
+    if unroll and k_re > 1:
+        # Mosaic fused-kernel path: statically unrolled cadence blocks
+        # (rebuild/ramp as Python constants, no in-kernel cond).  The
+        # cond variant below costs ~20% settled-regime throughput in
+        # Mosaic (measured on Stress1000), so the TPU kernel keeps the
+        # unrolled form; the CPU twin keeps the small graph.
+        blocks, block_tail = divmod(total_iters, k_re)
+
+        def block_body(bi, c):
+            it0 = bi * k_re
+            for j in range(k_re):
+                c = one_iteration(it0 + j, c, rebuild=(j == 0),
+                                  ramp_pen=(j == k_re - 1))
+            return c
+
+        if blocks > 0:
+            carry = lax.fori_loop(0, blocks, block_body, carry)
+        for j in range(block_tail):
+            carry = one_iteration(
+                jnp.int32(blocks * k_re + j), carry, rebuild=(j == 0),
+                ramp_pen=(j == block_tail - 1),
+            )
+    else:
+        if k_re > 1:
+            # One fori over all iterations; rebuild on block heads
+            # (it % k == 0), ramp at block tails and the final
+            # iteration — value-identical to the unrolled-block
+            # structure, with the iteration body traced exactly once.
+            # ``fresh`` (traced bool, CPU twin only) folds the speed
+            # gate in: a fresh step rebuilds and ramps every iteration,
+            # the exact k=1 cadence.
+            def loop_body(it, c):
+                j = it % k_re
+                rb = j == 0
+                rp = (j == k_re - 1) | (it == total_iters - 1)
+                if fresh is not None:
+                    rb = rb | fresh
+                    rp = rp | fresh
+                return one_iteration(it, c, rebuild=rb, ramp_pen=rp)
+        else:
+
+            def loop_body(it, c):
+                return one_iteration(it, c, rebuild=True, ramp_pen=True)
+
+        carry = lax.fori_loop(0, total_iters, loop_body, carry)
+    px, py, pz, q0, q1, q2, q3 = carry[:7]
+    geom_f = unflat_geom(carry[7:43])
+    lam, pen, stick_f = carry[43:46]
+    j_lam_f, j_pen_f = (carry[70], carry[71]) if has_j else (None, None)
+    pos_f = (px, py, pz)
+    quat_f = (q0, q1, q2, q3)
+    pos_f, san = _san3(pos_f, pos0, san)
+    quat_f, san = _san4(quat_f, quat0, san)
+
+    # ---- phase 5: velocity reconstruction + damping (solver.cpp:433-469)
+    nlv = tuple(
+        jnp.where(dyn, (pos_f[k] - pos0[k]) / dt * params.linear_damping, lv_in[k])
+        for k in range(3)
+    )
+    dqv = cm.q_mul(quat_f, (-quat0[0], -quat0[1], -quat0[2], quat0[3]))
+    vsgn = jnp.where(dqv[3] < 0.0, -2.0, 2.0)
+    nav = tuple(
+        jnp.where(dyn, dqv[k] * vsgn / dt * params.angular_damping, av_in[k])
+        for k in range(3)
+    )
+    nlv, san = _san3(nlv, (0.0, 0.0, 0.0), san)
+    nav, san = _san3(nav, (0.0, 0.0, 0.0), san)
+
+    # ---- phase 6: diagnostics (solver.cpp:471-513) ----
+    # geom_f is the loop's final geometry, evaluated at the final poses
+    # (the sanitize above only changes poses in pathological NaN cases).
+    other_dyn = gather(dynf, consts["idx"]) > 0.5
+    iota = rep.body_iota(dynf.shape[0])[None]
+    once = consts["valid"] & ((iota < consts["idx"]) | ~other_dyn)
+
+    max_pen = jnp.float32(0.0)
+    max_drift = jnp.float32(0.0)
+    max_lam_n = jnp.float32(0.0)
+    for s in range(4):
+        ok = geom_f["slot_ok"][s]
+        sep = geom_f["sep"][s]
+        max_pen = jnp.maximum(max_pen, jnp.max(jnp.where(ok, -sep, 0.0)))
+        max_drift = jnp.maximum(
+            max_drift, jnp.max(jnp.where(ok, params.penetration_slop - sep, 0.0))
+        )
+        max_lam_n = jnp.maximum(
+            max_lam_n, jnp.max(jnp.where(ok, jnp.abs(lam[s * 3]), 0.0))
+        )
+    max_pen = jnp.maximum(max_pen, 0.0)
+    max_drift = jnp.maximum(max_drift, 0.0)
+
+    oncef = once.astype(jnp.float32)
+    n_contacts = jnp.sum(jnp.where(once, cache.count, 0).astype(jnp.float32))
+    n_manifolds = jnp.sum(oncef * (cache.count > 0).astype(jnp.float32))
+    n_dyn = jnp.sum(dynf)
+    max_lin = jnp.max(jnp.sqrt(cm.length_sq(nlv)) * dynf)
+    max_ang = jnp.max(jnp.sqrt(cm.length_sq(nav)) * dynf)
+
+    lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    diag_vals = (max_pen, max_drift, max_lin, max_ang, max_lam_n,
+                 n_contacts, n_manifolds, n_dyn, san)
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for k, v in enumerate(diag_vals):
+        acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+
+    out = (
+        jnp.stack(pos_f),
+        jnp.stack(quat_f),
+        jnp.stack(nlv),
+        jnp.stack(nav),
+        jnp.stack(tuple(jnp.where(dyn, lv[k], plv[k]) for k in range(3))),
+        jnp.stack(tuple(jnp.where(dyn, av[k], av_in[k]) for k in range(3))),
+        lam,
+        pen,
+        stick_f,
+        acc,
+    )
+    if has_j:
+        out = out + (j_lam_f, j_pen_f)
+    if has_s:
+        out = out + (s_pen,)
+    return out
 
 
 def _make_kernel_b(params: SolverParams):
@@ -969,11 +968,12 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         # TPU this picks between two (small, single-fori) kernel variants;
         # the CPU twin folds the gate in as a traced boolean so the step
         # graph is traced once (same values either way).
-        if on_tpu:
+        k_fr = max(1, params.lhs_fresh_rebuild_every)
+        if on_tpu or k_fr > 1:
             contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
                 stale_lhs_ok(b, bp, params),
                 lambda _: run(params),
-                lambda _: run(params.replace(lhs_rebuild_every=1)),
+                lambda _: run(params.replace(lhs_rebuild_every=k_fr)),
                 operand=None,
             )
         else:
