@@ -70,7 +70,7 @@ def main():
     @jax.jit
     def bp(pos, radius, dynamic, excl):
         def body(carry, _):
-            nb, key, thr, cand = candidate_lists(
+            nb, key, thr, cand, _slack = candidate_lists(
                 pos + carry * 1e-12, radius, dynamic, excl, c.max_degree
             )
             return carry + cand.astype(jnp.float32), (nb, key, thr)
@@ -79,7 +79,7 @@ def main():
 
     timed("broadphase", bp, b.pos, b.radius, b.dynamic, w.exclusions)
 
-    nb, key, thr, _cand = candidate_lists(
+    nb, key, thr, _cand, _slack = candidate_lists(
         b.pos, b.radius, b.dynamic, w.exclusions, c.max_degree
     )
 

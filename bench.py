@@ -82,16 +82,30 @@ def main() -> None:
 
     # Pre-compile every block length on a throwaway world so no timed block
     # pays XLA compile (each static n_steps is a distinct executable).
-    for length in (100, 200, BLOCK):
+    for length in (100, 200, 300, BLOCK):
         _sync(run_steps(scene.world, params, cap, length))
 
-    # ---- falling regime: steps 0-300 ----
+    # ---- falling regime: steps 0-300 from scene build ----
+    # Same window as the C++ 44.1 baseline (BASELINE.md: scene build ->
+    # 300 steps in one wall-clock measurement, including the ~117
+    # contact-free steps before the first landing).  Deterministic initial
+    # state, so best-of-2 filters axon-tunnel stalls.
+    falling_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        w0 = run_steps(scene.world, params, cap, 300)
+        _sync(w0)
+        falling_times.append(time.perf_counter() - t0)
+    falling_sps = 300 / min(falling_times)
+
+    # Legacy sub-window (steps 100-300: landing cascade only, no ballistic
+    # phase) kept for cross-round comparability.
     world = run_steps(world, params, cap, 100)   # steps 0-100
     _sync(world)
     t0 = time.perf_counter()
     world = run_steps(world, params, cap, 200)   # steps 100-300
     _sync(world)
-    falling_sps = 200 / (time.perf_counter() - t0)
+    cascade_sps = 200 / (time.perf_counter() - t0)
 
     # ---- settle the pile (steps 300-700) ----
     for _ in range(2):
@@ -120,6 +134,7 @@ def main() -> None:
             "settled_median_vs_baseline": round(median_sps / BASELINE_SETTLED, 2),
             "falling_steps_per_sec": round(falling_sps, 1),
             "falling_vs_baseline": round(falling_sps / BASELINE_FALLING, 2),
+            "cascade_steps_per_sec": round(cascade_sps, 1),
             "block_steps": BLOCK,
             "trials": TRIALS,
             "max_penetration": float(d.max_penetration),

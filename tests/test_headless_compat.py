@@ -76,7 +76,13 @@ def test_ground_byte_identical(ref_main):
 
 
 def test_two_block_drop_structure_identical(ref_main):
-    steps = 5  # pre-contact: free fall, counts are stable across engines
+    # Steps 1-2 only: the bottom block's first bounce puts its ground gap
+    # EXACTLY on the 0.02 persistence margin (collision.cpp:231-234) at
+    # step 3, so the manifold-drop step flips with any float-rounding
+    # difference between engines (and even between XLA:CPU fusion modes).
+    # Steps 1-2 have a stable resting manifold in both engines, so every
+    # count on the [Physics]/Diagnostics lines must match exactly.
+    steps = 2
     ours = _mask(_ours("TwoBlockDrop", steps))
     theirs = _mask(_theirs(ref_main, "TwoBlockDrop", steps))
     assert ours == theirs
