@@ -1,15 +1,28 @@
-"""Broadphase: all-pairs bounding-sphere culling to per-body neighbor lists.
+"""Broadphase: all-pairs world-AABB culling to per-body neighbor lists.
 
-The reference broadphase is an O(n^2) double loop over linked lists that
-allocates a ``Manifold`` per overlapping pair (solver.cpp:261-270) and skips
-pairs already linked by any force via ``isConstrainedTo`` (rigid.cpp:61-69).
+The reference broadphase is an O(n^2) double loop over linked lists doing a
+bounding-SPHERE test that allocates a ``Manifold`` per overlapping pair
+(solver.cpp:261-270) and skips pairs already linked by any force via
+``isConstrainedTo`` (rigid.cpp:61-69).
+
+This rebuild culls with world-axis-aligned bounding boxes instead: for unit
+cubes the bounding sphere's radius (0.866) is 1.73x the half-extent, so a
+settled pile shows ~21 sphere candidates per body where only ~10 pairs can
+actually touch — and every candidate slot costs narrowphase + solver work
+in the (D, G, 128) kernels.  The AABB "gap" is the Chebyshev surface gap
+``max_k(|d_k| - (whA_k + whB_k))`` (wh = world half-extents, the box
+projected onto the world axes): exactly symmetric, a true lower bound on
+box distance (so AABB gap > persistence margin proves no contact), and
+roughly halves the realized candidate degree on box piles.  Rotation grows
+wh between cache refreshes; ``refresh_or_reuse`` bounds that with a chord
+term (see below).
 
 TPU rebuild, in two stages:
 
 1. ``candidate_lists`` (XLA): one (N, N) masked tensor op + per-row
    ``top_k`` compacts each body's overlapping partners into D static
-   neighbor slots, deepest-gap-first.  Distances are packed into strictly unique
-   int32 keys ``quantized_d2 * N + partner`` so selection is exactly
+   neighbor slots, deepest-gap-first.  Gaps are packed into strictly unique
+   int32 keys ``quantized_gap * N + partner`` so selection is exactly
    deterministic and stage 2 is pure integer compares.
 2. ``symmetric_filter``: a dynamic-dynamic pair is kept only if BOTH
    endpoints kept it (a one-sided contact force would inject momentum).
@@ -46,6 +59,34 @@ INT32_MIN = jnp.int32(-(2**31) + 1)
 INT32_MAX = jnp.int32(2**31 - 1)
 
 
+def world_halves(quat_cg, half_cg):
+    """World-frame AABB half-extents of oriented boxes.
+
+    wh_k = sum_j half_j * |axes_j[k]| — the box projected onto world axis k
+    (axes = the body axes, columns of R).  Inputs component tuples/arrays of
+    any matching shape; returns a 3-tuple."""
+    from .. import cm
+
+    axes = cm.q_axes(tuple(quat_cg))
+    return tuple(
+        sum(half_cg[j] * jnp.abs(axes[j][k]) for j in range(3))
+        for k in range(3)
+    )
+
+
+def _rot_chord(quat_cg, anchor_quat_cg, radius_g):
+    """Upper bound on any surface point's motion due to rotation since the
+    anchor pose: chord = 2*sin(theta/2)*radius = 2*|vec(q (x) qa*)|*radius
+    for unit quaternions.  Also bounds the world-AABB extent growth."""
+    from .. import cm
+
+    q = tuple(quat_cg[k] for k in range(4))
+    qa = tuple(anchor_quat_cg[k] for k in range(4))
+    dq = cm.q_mul(q, (-qa[0], -qa[1], -qa[2], qa[3]))
+    svec = jnp.sqrt(dq[0] ** 2 + dq[1] ** 2 + dq[2] ** 2)
+    return 2.0 * jnp.minimum(svec, 1.0) * jnp.maximum(radius_g, 0.0)
+
+
 def _pytree(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
@@ -57,34 +98,38 @@ def _pytree(cls):
 class BroadphaseCache:
     """Candidate lists + the body positions they were computed at.
 
-    Candidate selection is run with the sphere radii enlarged by
+    Candidate selection is run with the AABB gaps enlarged by
     ``params.bp_margin``; the lists then remain an exact superset of all
-    truly-overlapping pairs while BOTH of these hold (checked in
-    ``refresh_or_reuse``):
+    contact-capable pairs while BOTH of these hold (checked in
+    ``refresh_or_reuse``), where a body's "surface motion" is
+    |center displacement| + rotation chord (``_rot_chord`` — the chord also
+    bounds world-AABB extent growth, so one term covers both):
 
-    1. every moved body is within margin/2 of anchor + t, where t is any
-       common translation (we use the mean displacement of moved bodies) —
-       a pair's relative displacement is then <= margin, so no
-       non-candidate mover pair can have closed its > margin anchor gap;
-    2. no moved body has travelled further than ``slack`` + margin, where
+    1. every moved body's compensated surface motion |disp - t| + chord is
+       within margin/2, where t is any common translation (we use the mean
+       displacement of moved bodies) — a pair's AABB gap then shrank by
+       <= margin, so no non-candidate mover pair can have closed its
+       > margin anchor gap;
+    2. no moved body's raw surface motion exceeds ``slack`` + margin, where
        ``slack`` is the smallest positive anchor gap from any dynamic body
        to any STATIC body — static bodies don't share the common
        translation, so mover-static pairs need the uncompensated bound.
        When every static body was already a candidate of everything at
-       refresh (the usual case: a huge ground slab), slack is +inf and
-       coherent free-fall never invalidates the cache.
+       refresh, slack is +inf and coherent free-fall never invalidates the
+       cache.
 
     In slow regimes (a settled pile) AND coherently-moving regimes (a
     raining swarm) the O(N^2) + top_k stage amortizes to near zero while
     narrowphase always sees fresh positions.  The whole bundle refreshes
     atomically, keeping the symmetric-filter threshold test consistent."""
 
-    anchor: Any   # (3, G, 128) positions at last refresh
-    nb: Any       # (D, G, 128) int32 candidate partner (-1 empty)
-    key: Any      # (D, G, 128) int32 selection keys
-    thr: Any      # (G, 128) int32 largest key each body kept
-    cand: Any     # () int32 directed candidate-slot count at refresh
-    slack: Any    # () f32 min positive dynamic->static anchor gap (1e9=inf)
+    anchor: Any        # (3, G, 128) positions at last refresh
+    anchor_quat: Any   # (4, G, 128) orientations at last refresh
+    nb: Any            # (D, G, 128) int32 candidate partner (-1 empty)
+    key: Any           # (D, G, 128) int32 selection keys
+    thr: Any           # (G, 128) int32 largest key each body kept
+    cand: Any          # () int32 directed candidate-slot count at refresh
+    slack: Any         # () f32 min positive dynamic->static anchor gap (1e9=inf)
 
     def replace(self, **kw) -> "BroadphaseCache":
         return dataclasses.replace(self, **kw)
@@ -94,6 +139,7 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
     g = n_groups
     return BroadphaseCache(
         anchor=jnp.full((3, g, 128), 1.0e9, jnp.float32),  # forces refresh
+        anchor_quat=jnp.zeros((4, g, 128), jnp.float32),
         nb=jnp.full((degree, g, 128), -1, jnp.int32),
         key=jnp.zeros((degree, g, 128), jnp.int32),
         thr=jnp.zeros((g, 128), jnp.int32),
@@ -102,11 +148,11 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
     )
 
 
-def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
-                     exclusions, degree: int, margin: float,
-                     comm=None) -> BroadphaseCache:
+def refresh_or_reuse(bp: BroadphaseCache, b, exclusions, degree: int,
+                     margin: float, comm=None) -> BroadphaseCache:
     """Rebuild the candidate lists only when the cached superset guarantee
-    no longer holds (the two conditions in BroadphaseCache).
+    no longer holds (the two conditions in BroadphaseCache).  ``b``: the
+    Bodies SoA (pos/quat/size/radius/dynamic are read).
 
     The moved-body set includes bodies that are static NOW but have moved
     since the anchor (fall-frozen bodies): their pairs against live movers
@@ -118,34 +164,38 @@ def refresh_or_reuse(bp: BroadphaseCache, pos_cg, radius_g, dynamic_g,
     same lax.cond branch; defaults to the no-op LocalComm."""
     if comm is None:
         from ..comm import LOCAL_COMM as comm
+    pos_cg, dynamic_g = b.pos, b.dynamic
     disp = [pos_cg[k] - bp.anchor[k] for k in range(3)]
     disp2 = sum(d * d for d in disp)
     moved = dynamic_g | (disp2 > 0.0)
+    chord = _rot_chord(b.quat, bp.anchor_quat, b.radius)
     mf = moved.astype(jnp.float32)
     nm = jnp.maximum(comm.psum(jnp.sum(mf)), 1.0)
     t = [comm.psum(jnp.sum(d * mf)) / nm for d in disp]
-    c2 = sum((disp[k] - t[k]) ** 2 for k in range(3))
-    need_mm = comm.pmax(jnp.max(jnp.where(moved, c2, 0.0))) > (0.5 * margin) ** 2
-    lim = bp.slack + margin
-    need_ms = comm.pmax(jnp.max(jnp.where(moved, disp2, 0.0))) > lim * lim
+    dev = jnp.sqrt(sum((disp[k] - t[k]) ** 2 for k in range(3))) + chord
+    need_mm = comm.pmax(jnp.max(jnp.where(moved, dev, 0.0))) > 0.5 * margin
+    raw = jnp.sqrt(disp2) + chord
+    need_ms = comm.pmax(jnp.max(jnp.where(moved, raw, 0.0))) > bp.slack + margin
     need = need_mm | need_ms
 
     def rebuild(_):
         nb, key, thr, cand, slack = candidate_lists(
-            pos_cg, radius_g, dynamic_g, exclusions, degree, margin,
-            comm=comm,
+            pos_cg, b.quat, tuple(b.size[k] * 0.5 for k in range(3)),
+            b.radius, dynamic_g, exclusions, degree, margin, comm=comm,
         )
-        return BroadphaseCache(anchor=pos_cg, nb=nb, key=key, thr=thr,
-                               cand=cand, slack=slack)
+        return BroadphaseCache(anchor=pos_cg, anchor_quat=b.quat, nb=nb,
+                               key=key, thr=thr, cand=cand, slack=slack)
 
     return lax.cond(need, rebuild, lambda _: bp, operand=None)
 
 
-def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
-                    margin: float = 0.0, block_rows: int = 2048, comm=None):
+def candidate_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
+                    exclusions, degree: int, margin: float = 0.0,
+                    block_rows: int = 2048, comm=None):
     """Per-body candidate slots, nearest-first, as unique integer keys.
 
-    pos_cg (3, G, 128), radius_g/dynamic_g (G, 128); exclusions (E, G, 128)
+    pos_cg (3, G, 128), quat_cg (4, G, 128), half_cg 3-tuple of (G, 128)
+    box half-extents, radius_g/dynamic_g (G, 128); exclusions (E, G, 128)
     partner indices or -1.  Returns:
       nb        (D, G, 128) int32 partner index (-1 empty)
       key       (D, G, 128) int32 the slot's selection key (q * N + partner)
@@ -170,9 +220,12 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
     n_rows = g * 128
     row0_base = comm.row0(n_rows)
     n = n_rows * comm.n_shards
+    # World AABB half-extents (the box projected onto the world axes).
+    wh_cg = world_halves(tuple(quat_cg[k] for k in range(4)), half_cg)
     px = comm.all_gather_g(pos_cg[0]).reshape(n)
     py = comm.all_gather_g(pos_cg[1]).reshape(n)
     pz = comm.all_gather_g(pos_cg[2]).reshape(n)
+    wh = [comm.all_gather_g(wh_cg[k]).reshape(n) for k in range(3)]
     radius = comm.all_gather_g(radius_g).reshape(n)
     dynamic = comm.all_gather_g(dynamic_g).reshape(n)
     excl = exclusions.reshape(exclusions.shape[0], n_rows) if exclusions.shape[0] else None
@@ -180,13 +233,15 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
     px_r = pos_cg[0].reshape(n_rows)
     py_r = pos_cg[1].reshape(n_rows)
     pz_r = pos_cg[2].reshape(n_rows)
+    wh_r = [wh_cg[k].reshape(n_rows) for k in range(3)]
     radius_r = radius_g.reshape(n_rows)
     dynamic_r = dynamic_g.reshape(n_rows)
     # Key packing constants are GLOBAL so row-blocked and whole-matrix
     # evaluation produce identical keys (see below).
     q_max = (2**31 - 1) // n - 1
-    max_r = jnp.max(radius) + 0.5 * margin
-    gap_range = jnp.maximum(2.0 * max_r, 1e-6)
+    max_wh = jnp.maximum(jnp.maximum(jnp.max(wh[0]), jnp.max(wh[1])),
+                         jnp.max(wh[2]))
+    gap_range = jnp.maximum(2.0 * max_wh + margin, 1e-6)
 
     def row_block(r0, nb_rows: int):
         """Candidate selection for LOCAL rows [r0, r0+nb_rows) against all
@@ -196,13 +251,9 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
         pxb = lax.dynamic_slice_in_dim(px_r, r0, nb_rows)
         pyb = lax.dynamic_slice_in_dim(py_r, r0, nb_rows)
         pzb = lax.dynamic_slice_in_dim(pz_r, r0, nb_rows)
+        whb = [lax.dynamic_slice_in_dim(wh_r[k], r0, nb_rows) for k in range(3)]
         rb = lax.dynamic_slice_in_dim(radius_r, r0, nb_rows)
         dynb = lax.dynamic_slice_in_dim(dynamic_r, r0, nb_rows)
-        d2 = (
-            (pxb[:, None] - px[None, :]) ** 2
-            + (pyb[:, None] - py[None, :]) ** 2
-            + (pzb[:, None] - pz[None, :]) ** 2
-        )
         rsum = rb[:, None] + radius[None, :] + margin
         # Global row ids.  row0_base is the Python int 0 off the sharded
         # path — keep the add out of the jaxpr there so single-device
@@ -210,15 +261,24 @@ def candidate_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int,
         r0g = r0 if isinstance(row0_base, int) and row0_base == 0 else row0_base + r0
         ii = r0g + lax.broadcasted_iota(jnp.int32, (nb_rows, n), 0)
         jj = lax.broadcasted_iota(jnp.int32, (nb_rows, n), 1)
-        # Rank candidates by SPHERE GAP (surface distance), not center
-        # distance: a huge static slab's center is "far" from every body
-        # even while touching it, and center-ranked eviction under a
-        # transient overflow would drop the ground contact first — bodies
-        # then tunnel through the floor (observed on Stress1000 landing
-        # cascades).  Gap ranking keeps the most-overlapping pairs, so
-        # capacity eviction can only ever drop the least-engaged margin
-        # candidates.
-        gap = jnp.sqrt(d2) - rsum
+        # Rank candidates by the Chebyshev AABB surface gap
+        # max_k(|d_k| - (whA_k + whB_k)) — NOT center distance: a huge
+        # static slab's center is "far" from every body even while touching
+        # it, and center-ranked eviction under a transient overflow would
+        # drop the ground contact first — bodies then tunnel through the
+        # floor (observed on Stress1000 landing cascades).  Gap ranking
+        # keeps the most-overlapping pairs, so capacity eviction can only
+        # ever drop the least-engaged margin candidates.  The AABB gap is a
+        # lower bound on true box distance (each axis separates), so
+        # gap > 0.02 also proves SAT's persistence test fails — the same
+        # soundness the sphere gap gave, at ~half the realized degree.
+        gap = jnp.maximum(
+            jnp.maximum(
+                jnp.abs(pxb[:, None] - px[None, :]) - (whb[0][:, None] + wh[0][None, :]),
+                jnp.abs(pyb[:, None] - py[None, :]) - (whb[1][:, None] + wh[1][None, :]),
+            ),
+            jnp.abs(pzb[:, None] - pz[None, :]) - (whb[2][:, None] + wh[2][None, :]),
+        ) - margin
         # rsum > margin rejects padding bodies (sentinel negative radius).
         mask = (gap <= 0.0) & (rsum > margin) & (ii != jj) & dynb[:, None]
 
@@ -392,7 +452,8 @@ def bp_probe(nb, pos_cg, quat_cg, half_cg, radius_g, linvel_cg, angvel_cg,
     return min_sep, n_slots, near
 
 
-def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
+def neighbor_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
+                   exclusions, degree: int):
     """Portable one-call broadphase: candidates + symmetric filter (native
     gather).  Returns (neighbors (D, G, 128) int32 with -1 empty, overflow =
     dropped directed slots)."""
@@ -401,7 +462,7 @@ def neighbor_lists(pos_cg, radius_g, dynamic_g, exclusions, degree: int):
         return table.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
 
     nb, key, thr, candidate_slots, _slack = candidate_lists(
-        pos_cg, radius_g, dynamic_g, exclusions, degree
+        pos_cg, quat_cg, half_cg, radius_g, dynamic_g, exclusions, degree
     )
     nb, kept = symmetric_filter(nb, key, thr, dynamic_g, xla_gather)
     return nb, candidate_slots - kept

@@ -357,8 +357,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
 
     b = world.bodies
     bp = refresh_or_reuse(
-        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
-        cap.max_degree, params.bp_margin,
+        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
     )
     world = world.replace(bp=bp)
 
@@ -442,8 +441,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     # capacity filter (both stages in ops/broadphase.py).
     # ------------------------------------------------------------------
     bp = refresh_or_reuse(
-        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
-        cap.max_degree, params.bp_margin, comm=comm,
+        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
+        comm=comm,
     )
     world = world.replace(bp=bp)
     neighbors, kept = symmetric_filter(

@@ -934,8 +934,7 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
     on_tpu = jax.default_backend() == "tpu"
 
     bp = refresh_or_reuse(
-        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
-        cap.max_degree, params.bp_margin,
+        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
     )
     world = world.replace(bp=bp)
     has_j = world.joints.dj > 0
@@ -1493,8 +1492,7 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     d = cap.max_degree
 
     bp = refresh_or_reuse(
-        world.bp, b.pos, b.radius, b.dynamic, world.exclusions,
-        cap.max_degree, params.bp_margin,
+        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
     )
     world = world.replace(bp=bp)
     contacts, keptmask, once = collide_and_init_grid(

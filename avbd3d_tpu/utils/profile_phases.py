@@ -50,12 +50,14 @@ def main():
         pi = p.replace(iterations=its)
         bench(f"full step its={its}", jax.jit(lambda w_, pi=pi: step.__wrapped__(w_, pi, c)), w)
 
+    half = tuple(b.size[k] * 0.5 for k in range(3))
     bench(
         "broadphase",
-        jax.jit(lambda pos, r, dy, e: neighbor_lists(pos, r, dy, e, c.max_degree)),
-        b.pos, b.radius, b.dynamic, w.exclusions,
+        jax.jit(lambda pos, q, h, r, dy, e: neighbor_lists(pos, q, h, r, dy, e, c.max_degree)),
+        b.pos, b.quat, half, b.radius, b.dynamic, w.exclusions,
     )
-    nb, _ = neighbor_lists(b.pos, b.radius, b.dynamic, w.exclusions, c.max_degree)
+    nb, _ = neighbor_lists(b.pos, b.quat, half, b.radius, b.dynamic,
+                           w.exclusions, c.max_degree)
     tables = body_tables(b)
     bench(
         "collide_and_init",

@@ -67,20 +67,23 @@ def main():
     timed("full step", full, w)
 
     # ---- broadphase (XLA stage only: mask + integer-key top_k) ----
+    half = tuple(b.size[k] * 0.5 for k in range(3))
+
     @jax.jit
-    def bp(pos, radius, dynamic, excl):
+    def bp(pos, quat, radius, dynamic, excl):
         def body(carry, _):
             nb, key, thr, cand, _slack = candidate_lists(
-                pos + carry * 1e-12, radius, dynamic, excl, c.max_degree
+                pos + carry * 1e-12, quat, half, radius, dynamic, excl,
+                c.max_degree
             )
             return carry + cand.astype(jnp.float32), (nb, key, thr)
         carry, outs = lax.scan(body, jnp.float32(0.0), None, length=REPS)
         return carry, jax.tree_util.tree_map(lambda x: x[-1], outs)
 
-    timed("broadphase", bp, b.pos, b.radius, b.dynamic, w.exclusions)
+    timed("broadphase", bp, b.pos, b.quat, b.radius, b.dynamic, w.exclusions)
 
     nb, key, thr, _cand, _slack = candidate_lists(
-        b.pos, b.radius, b.dynamic, w.exclusions, c.max_degree
+        b.pos, b.quat, half, b.radius, b.dynamic, w.exclusions, c.max_degree
     )
 
     # ---- kernel A (symmetric filter + narrowphase + match) ----

@@ -103,12 +103,20 @@ def test_blocked_candidate_lists_match_numpy():
     pos[n_real:, 1] = -1e6
     radius = np.full(n, -1e9, np.float32)
     radius[:n_real] = rng.uniform(0.5, 1.2, n_real).astype(np.float32)
+    # Identity quats: world half-extents == body half-extents, so the numpy
+    # AABB model below needs no rotation handling.
+    half = np.zeros((n, 3), np.float32)
+    half[:n_real] = rng.uniform(0.3, 0.9, (n_real, 3)).astype(np.float32)
+    quat = np.zeros((n, 4), np.float32)
+    quat[:, 3] = 1.0
     dynamic = np.zeros(n, bool)
     dynamic[:n_real] = rng.random(n_real) < 0.8
 
     pos_cg = jnp.asarray(pos.T.reshape(3, g, 128))
+    quat_cg = jnp.asarray(quat.T.reshape(4, g, 128))
+    half_cg = tuple(jnp.asarray(half[:, k].reshape(g, 128)) for k in range(3))
     args = (
-        pos_cg, jnp.asarray(radius.reshape(g, 128)),
+        pos_cg, quat_cg, half_cg, jnp.asarray(radius.reshape(g, 128)),
         jnp.asarray(dynamic.reshape(g, 128)),
         jnp.zeros((0, g, 128), jnp.int32), d, margin,
     )
@@ -131,16 +139,18 @@ def test_blocked_candidate_lists_match_numpy():
     assert abs(int(cand) - int(cand_u)) <= max(4, int(0.01 * int(cand_u)))
     np.testing.assert_allclose(float(slack), float(slack_u), rtol=1e-5)
 
-    # ---- independent numpy selection ----
-    diff = pos[:, None, :] - pos[None, :, :]
-    gap = np.sqrt((diff.astype(np.float32) ** 2).sum(-1), dtype=np.float32)
+    # ---- independent numpy selection (Chebyshev AABB gap) ----
+    gap = np.max(
+        np.abs(pos[:, None, :] - pos[None, :, :])
+        - (half[:, None, :] + half[None, :, :]),
+        axis=-1,
+    ).astype(np.float32) - np.float32(margin)
     rsum = (radius[:, None] + radius[None, :] + np.float32(margin)).astype(np.float32)
-    gap = gap - rsum
     ii, jj = np.indices((n, n))
     mask = (gap <= 0) & (rsum > margin) & (ii != jj) & dynamic[:, None]
     q_max = (2**31 - 1) // n - 1
-    max_r = radius.max() + 0.5 * margin
-    gap_range = np.float32(max(2.0 * max_r, 1e-6))
+    max_wh = half.max()
+    gap_range = np.float32(max(2.0 * max_wh + margin, 1e-6))
     q = np.clip((gap + gap_range) * np.float32(q_max / gap_range), 0.0,
                 float(q_max)).astype(np.int64).astype(np.int32)
     keys_np = q * n + jj

@@ -45,7 +45,10 @@ def test_broadphase_symmetric_under_overflow():
     world, params, cap, _ = sb.build(scene.params, max_degree=d)
 
     b = world.bodies
-    nb, overflow = neighbor_lists(b.pos, b.radius, b.dynamic, world.exclusions, d)
+    nb, overflow = neighbor_lists(
+        b.pos, b.quat, tuple(b.size[k] * 0.5 for k in range(3)),
+        b.radius, b.dynamic, world.exclusions, d,
+    )
     nbm = np.asarray(nb)  # (D, G, 128)
     g = nbm.shape[1]
     slots = [set() for _ in range(g * 128)]
