@@ -529,10 +529,34 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
 
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
+    # Impact iteration boost (config.impact_iterations): energetic
+    # near-contact steps run extra Jacobi sweeps — the parallel primal
+    # needs ~2x the reference's Gauss-Seidel sweep count to hold the
+    # penetration envelope through landing transients.  Bit-identical
+    # when the scene already runs >= impact_iterations (boost is False
+    # at trace time and nothing below changes).
+    boost = 0 < params.iterations < params.impact_iterations
+    if boost:
+        # Global (unrefined) speed gate: during a coherent landing the
+        # bodies fall TOGETHER, so the near-contact refinement (relative
+        # reach per slot) can stay calm through the compression steps
+        # where the extra sweeps are needed — measured on Stack: refined
+        # gate worst transient 0.0093, global gate 0.0004.
+        calm = stale_lhs_ok(
+            b, bp, params.replace(lhs_stale_speed_max=min(
+                params.impact_speed_min, params.lhs_stale_speed_max)),
+            refine=False, comm=comm, gather=gather,
+        )
+        n_main = jnp.where(calm, params.iterations, params.impact_iterations)
+        iters_end = n_main + (1 if params.post_stabilize else 0)
+    else:
+        n_main = params.iterations
+        iters_end = total_iters
+
     def iteration(it, carry, rebuild, ramp_pen=True):
         pos, quat, geom, lam_c, pen_c, stick, lam_j, pen_j, san, cmat = carry
         if params.post_stabilize:
-            alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
+            alpha_cur = jnp.where(it < n_main, 1.0, 0.0)
         else:
             alpha_cur = jnp.float32(params.alpha)
 
@@ -605,7 +629,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         else:
             lam_j2, pen_j2 = lam_j, pen_j
 
-        do_dual = it < params.iterations
+        do_dual = it < n_main
         lam_c = jnp.where(do_dual, lam_c2, jnp.stack(crs2["lam"]))
         # Contact penalty ramps only when the Hessian rebuilds before its
         # next use (augmented-Lagrangian cadence — see solver_tpu for the
@@ -650,7 +674,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         def loop_body(it, c):
             j = it % k_re
             rb_st = j == 0
-            rp_st = (j == k_re - 1) | (it == total_iters - 1)
+            rp_st = (j == k_re - 1) | (it == iters_end - 1)
             if k_fr == 1:
                 rb = rb_st | fresh
                 rp = rp_st | fresh
@@ -658,17 +682,17 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
                 jf = it % k_fr
                 rb = jnp.where(fresh, jf == 0, rb_st)
                 rp = jnp.where(
-                    fresh, (jf == k_fr - 1) | (it == total_iters - 1), rp_st
+                    fresh, (jf == k_fr - 1) | (it == iters_end - 1), rp_st
                 )
             return iteration(it, c, rebuild=rb, ramp_pen=rp)
 
-        carry = lax.fori_loop(0, total_iters, loop_body, carry0)
+        carry = lax.fori_loop(0, iters_end, loop_body, carry0)
     else:
 
         def loop_body(it, c):
             return iteration(it, c, rebuild=True, ramp_pen=True)
 
-        carry = lax.fori_loop(0, total_iters, loop_body, carry0)
+        carry = lax.fori_loop(0, iters_end, loop_body, carry0)
     pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized, _ = carry
 
     contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)

@@ -228,7 +228,8 @@ def bp_probe_tpu(nb, b, params: SolverParams):
 def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
                    av_r, plv_r, mass_r, invm_r, fric_r, inertia_r,
                    inv_inertia_r, gather=rep.select_gather, joints=None,
-                   springs=None, n_colors=1, fresh=None, unroll=False):
+                   springs=None, n_colors=1, fresh=None, unroll=False,
+                   n_main=None):
     """Phases 3-6 as pure array math: the body of kernel B.
 
     Called with VMEM-resident values inside the Pallas kernel (gather =
@@ -246,6 +247,14 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
     dt = params.dt
     inv_dt2 = 1.0 / (dt * dt)
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
+    # Traced impact-boost override (CPU-twin form only; the Mosaic kernels
+    # bake the boosted count in statically via params.replace): ``n_main``
+    # is the effective main-iteration count, ``iters_end`` the fori bound.
+    if n_main is None:
+        n_main = params.iterations
+        iters_end = total_iters
+    else:
+        iters_end = n_main + (1 if params.post_stabilize else 0)
     relax = params.relaxation
     grav = params.gravity
     g_len = float(sum(x * x for x in grav) ** 0.5)
@@ -375,7 +384,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
         quat = (q0, q1, q2, q3)
         stick = stick_f > 0.5
         if params.post_stabilize:
-            alpha_cur = jnp.where(it < params.iterations, 1.0, 0.0)
+            alpha_cur = jnp.where(it < n_main, 1.0, 0.0)
         else:
             alpha_cur = jnp.float32(params.alpha)
 
@@ -485,7 +494,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             jnp.stack(rows["stick"]), alpha_cur, params,
         )
         lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
-        do_dual = it < params.iterations
+        do_dual = it < n_main
         lam = jnp.where(do_dual, lam2, jnp.stack(rows2["lam"]))
         # Penalty ramps only when the Hessian will be rebuilt before its
         # next use (classic augmented-Lagrangian cadence: inner Newton
@@ -557,7 +566,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             def loop_body(it, c):
                 j = it % k_re
                 rb = j == 0
-                rp = (j == k_re - 1) | (it == total_iters - 1)
+                rp = (j == k_re - 1) | (it == iters_end - 1)
                 if fresh is not None:
                     rb = rb | fresh
                     rp = rp | fresh
@@ -567,7 +576,7 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
             def loop_body(it, c):
                 return one_iteration(it, c, rebuild=True, ramp_pen=True)
 
-        carry = lax.fori_loop(0, total_iters, loop_body, carry)
+        carry = lax.fori_loop(0, iters_end, loop_body, carry)
     px, py, pz, q0, q1, q2, q3 = carry[:7]
     geom_f = unflat_geom(carry[7:43])
     lam, pen, stick_f = carry[43:46]
@@ -894,12 +903,12 @@ def collide_and_init_math(old: Contacts, nb_raw, keys, thr, b, params: SolverPar
 
 @functools.partial(jax.jit, static_argnames=("params", "n_colors"))
 def solve_loop_math(contacts: Contacts, b, params: SolverParams, joints=None,
-                    springs=None, n_colors: int = 1, fresh=None):
+                    springs=None, n_colors: int = 1, fresh=None, n_main=None):
     outs = _kernel_b_math(
         params, contacts, b.pos, b.quat, b.linvel, b.angvel, b.prev_linvel,
         b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia,
         gather=_math_gather(), joints=joints, springs=springs,
-        n_colors=n_colors, fresh=fresh,
+        n_colors=n_colors, fresh=fresh, n_main=n_main,
     )
     bodies = b.replace(
         pos=outs[0], quat=outs[1], linvel=outs[2], angvel=outs[3],
@@ -951,15 +960,32 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
                 world.contacts, bp.nb, bp.key, bp.thr, b, jv, sv, par, n_colors
             )
     else:
-        def run(par, fresh=None):
+        def run(par, fresh=None, n_main=None):
             contacts, kept = collide_and_init_math(
                 world.contacts, bp.nb, bp.key, bp.thr, b, par
             )
             bodies, lam, pen, stick, diag_v, j_lam, j_pen, s_pen = solve_loop_math(
-                contacts, b, par, jin, sin, n_colors, fresh
+                contacts, b, par, jin, sin, n_colors, fresh, n_main
             )
             contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
             return contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen
+
+    # Impact iteration boost (config.impact_iterations): energetic
+    # near-contact steps run the boosted sweep count.  On TPU this is one
+    # more statically-baked kernel variant under the gate cond; the CPU
+    # twin threads the boosted count in as a traced scalar.  Compiled out
+    # when the scene already runs >= impact_iterations.
+    boost = 0 < params.iterations < params.impact_iterations
+    if boost:
+        # Global (unrefined) gate — see solver._step_impl: the refined
+        # near-mask misses coherent-landing compression steps.
+        calm = stale_lhs_ok(
+            b, bp,
+            params.replace(lhs_stale_speed_max=min(
+                params.impact_speed_min, params.lhs_stale_speed_max)),
+            refine=False,
+        )
+        boost_par = params.replace(iterations=params.impact_iterations)
 
     if params.lhs_rebuild_every > 1:
         # Speed-gated Hessian staleness (config.lhs_rebuild_every):
@@ -969,15 +995,52 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         # graph is traced once (same values either way).
         k_fr = max(1, params.lhs_fresh_rebuild_every)
         if on_tpu or k_fr > 1:
+            fresh_gate = ~stale_lhs_ok(b, bp, params)
+            if boost:
+                # calm <= (not fresh_gate): the calm branch always runs the
+                # stale cadence at scene iterations; the energetic branch
+                # runs boosted iterations with cadence per the fresh gate.
+                outs = lax.cond(
+                    calm,
+                    lambda _: run(params),
+                    lambda _: lax.cond(
+                        fresh_gate,
+                        lambda __: run(boost_par.replace(lhs_rebuild_every=k_fr)),
+                        lambda __: run(boost_par),
+                        operand=None,
+                    ),
+                    operand=None,
+                )
+            else:
+                outs = lax.cond(
+                    fresh_gate,
+                    lambda _: run(params.replace(lhs_rebuild_every=k_fr)),
+                    lambda _: run(params),
+                    operand=None,
+                )
+            contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = outs
+        else:
+            fresh = ~stale_lhs_ok(b, bp, params)
+            n_main = None
+            if boost:
+                n_main = jnp.where(
+                    calm, params.iterations, params.impact_iterations
+                )
+            contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(
+                params, fresh=fresh, n_main=n_main
+            )
+    elif boost:
+        if on_tpu:
             contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = lax.cond(
-                stale_lhs_ok(b, bp, params),
+                calm,
                 lambda _: run(params),
-                lambda _: run(params.replace(lhs_rebuild_every=k_fr)),
+                lambda _: run(boost_par),
                 operand=None,
             )
         else:
+            n_main = jnp.where(calm, params.iterations, params.impact_iterations)
             contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(
-                params, fresh=~stale_lhs_ok(b, bp, params)
+                params, n_main=n_main
             )
     else:
         contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(params)
@@ -1515,14 +1578,14 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
 
     total_iters = params.iterations + (1 if params.post_stabilize else 0)
 
-    def scal_for(it):
+    def scal_for(it, n_iters=params.iterations):
         # ``it`` is a Python int (the launch sequence is unrolled), so the
         # alpha / do-dual selectors are compile-time scalars.
         if params.post_stabilize:
-            alpha = 1.0 if it < params.iterations else 0.0
+            alpha = 1.0 if it < n_iters else 0.0
         else:
             alpha = float(params.alpha)
-        dd = 1.0 if it < params.iterations else 0.0
+        dd = 1.0 if it < n_iters else 0.0
         row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         return (jnp.where(row == 0, alpha, 0.0)
                 + jnp.where(row == 1, dd, 0.0)).astype(jnp.float32)
@@ -1539,23 +1602,26 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
             pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal,
         ))
 
-    def run_iters(k_re):
+    def run_iters(k_re, n_iters=params.iterations):
         # Head block unrolled (its first launch computes the initial
         # geometry); the remaining full blocks run under ONE lax.scan whose
         # body is the k_re-launch block — so the number of launch sites in
         # the step graph (and hence compile time) is ~2*k_re + tail instead
         # of total_iters (round-2: 159 s compile for a 20-step scan at
         # N=5120 from the fully-unrolled chain).
-        blocks, tail = divmod(total_iters, k_re)
+        n_total = n_iters + (1 if params.post_stabilize else 0)
+        blocks, tail = divmod(n_total, k_re)
         c = carry0
         it = 0
         if blocks > 0:
             for j in range(k_re):
-                c = launch(c, j == 0, j == k_re - 1, it == 0, scal_for(it))
+                c = launch(c, j == 0, j == k_re - 1, it == 0,
+                           scal_for(it, n_iters))
                 it += 1
             if blocks > 1:
                 scal_stack = jnp.stack([
-                    jnp.stack([scal_for(bi * k_re + j) for j in range(k_re)])
+                    jnp.stack([scal_for(bi * k_re + j, n_iters)
+                               for j in range(k_re)])
                     for bi in range(1, blocks)
                 ])  # (blocks-1, k_re, 8, 128)
 
@@ -1567,16 +1633,50 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
                 c, _ = lax.scan(body, c, scal_stack)
                 it += (blocks - 1) * k_re
         for j in range(tail):
-            c = launch(c, j == 0, j == tail - 1, it == 0, scal_for(it))
+            c = launch(c, j == 0, j == tail - 1, it == 0,
+                       scal_for(it, n_iters))
             it += 1
         return c
 
+    # Impact iteration boost (config.impact_iterations) — same semantics
+    # as step_pallas/_step_impl, with the grid tier's unrefined gate.
+    boost = 0 < params.iterations < params.impact_iterations
+    if boost:
+        calm = stale_lhs_ok(
+            b, bp,
+            params.replace(lhs_stale_speed_max=min(
+                params.impact_speed_min, params.lhs_stale_speed_max)),
+            refine=False,
+        )
+
     k_re = max(1, params.lhs_rebuild_every)
     if k_re > 1:
+        stale_ok = stale_lhs_ok(b, bp, params, refine=False)
+        if boost:
+            nb_i = params.impact_iterations
+            carry = lax.cond(
+                calm,
+                lambda _: run_iters(k_re),
+                lambda _: lax.cond(
+                    stale_ok,
+                    lambda __: run_iters(k_re, nb_i),
+                    lambda __: run_iters(1, nb_i),
+                    operand=None,
+                ),
+                operand=None,
+            )
+        else:
+            carry = lax.cond(
+                stale_ok,
+                lambda _: run_iters(k_re),
+                lambda _: run_iters(1),
+                operand=None,
+            )
+    elif boost:
         carry = lax.cond(
-            stale_lhs_ok(b, bp, params, refine=False),
-            lambda _: run_iters(k_re),
+            calm,
             lambda _: run_iters(1),
+            lambda _: run_iters(1, params.impact_iterations),
             operand=None,
         )
     else:

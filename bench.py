@@ -35,8 +35,9 @@ from avbd3d_tpu import load_scene, run_steps  # noqa: E402
 BASELINE_SETTLED = 19.9   # C++ single-thread, settled regime (BASELINE.md)
 BASELINE_FALLING = 44.1   # C++ single-thread, falling regime (BASELINE.md)
 # C++ (ref_stressn, same machine) at the capacity-scaling scene sizes —
-# settled-regime steps/sec; see BASELINE.md "capacity scaling".
-BASELINE_STRESS = {"Stress2048": None, "Stress4096": None}
+# settled-regime steps/sec, best 100-step block after pile formation
+# (favors the C++; see BASELINE.md "capacity scaling" for the full logs).
+BASELINE_STRESS = {"Stress2048": 5.93, "Stress4096": 2.87}
 BLOCK = 1000
 TRIALS = 5
 

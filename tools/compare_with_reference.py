@@ -200,6 +200,18 @@ DEVIATIONS = """
 - **Jacobi primal with relaxation 0.85** vs the reference's Gauss-Seidel
   body sweep (solver.cpp:344-409): trajectories diverge at contact-chaos
   onset; parity is behavioral (envelopes above), per SURVEY.md section 7.
+- **Impact iteration boost** (`config.impact_iterations=20`): the round-2
+  lockstep trace showed the Jacobi primal at Stack's 10 iterations
+  transiently penetrating 0.0095 > slop during the landing (the C++
+  Gauss-Seidel stays at 0.0000) — a parallel Jacobi sweep propagates
+  corrections ~half as fast as a sequential GS sweep through a contact
+  chain.  Fix shipped in round 3: steps where any dynamic body moves
+  faster than `impact_speed_min=0.5` run `max(iterations, 20)` sweeps
+  (the reference's own mass-contact tuning, scenes.h:91-94, applied
+  automatically).  Measured Stack worst transient: 0.0095 -> 0.0004 on
+  CPU, 0.0002 on TPU hardware; regression-tested stepwise in
+  tests/test_scenes_integration.py.  Scenes already at 20 iterations
+  (Stress1000) are bit-identical — the boost compiles out.
 """
 
 
