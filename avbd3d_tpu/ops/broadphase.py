@@ -130,6 +130,7 @@ class BroadphaseCache:
     thr: Any           # (G, 128) int32 largest key each body kept
     cand: Any          # () int32 directed candidate-slot count at refresh
     slack: Any         # () f32 min positive dynamic->static anchor gap (1e9=inf)
+    dropped: Any       # () int32 directed slots dropped by top_k capacity
 
     def replace(self, **kw) -> "BroadphaseCache":
         return dataclasses.replace(self, **kw)
@@ -145,6 +146,7 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
         thr=jnp.zeros((g, 128), jnp.int32),
         cand=jnp.int32(0),
         slack=jnp.float32(0.0),
+        dropped=jnp.int32(1),   # blocks the ballistic path until a refresh
     )
 
 
@@ -179,14 +181,39 @@ def refresh_or_reuse(bp: BroadphaseCache, b, exclusions, degree: int,
     need = need_mm | need_ms
 
     def rebuild(_):
-        nb, key, thr, cand, slack = candidate_lists(
-            pos_cg, b.quat, tuple(b.size[k] * 0.5 for k in range(3)),
-            b.radius, dynamic_g, exclusions, degree, margin, comm=comm,
-        )
-        return BroadphaseCache(anchor=pos_cg, anchor_quat=b.quat, nb=nb,
-                               key=key, thr=thr, cand=cand, slack=slack)
+        return build_bp_cache(b, exclusions, degree, margin, comm=comm)
 
     return lax.cond(need, rebuild, lambda _: bp, operand=None)
+
+
+def build_bp_cache(b, exclusions, degree: int, margin: float,
+                   comm=None) -> BroadphaseCache:
+    """Fresh candidate lists anchored at the current poses."""
+    if comm is None:
+        from ..comm import LOCAL_COMM as comm
+    nb, key, thr, cand, slack = candidate_lists(
+        b.pos, b.quat, tuple(b.size[k] * 0.5 for k in range(3)),
+        b.radius, b.dynamic, exclusions, degree, margin, comm=comm,
+    )
+    dropped = cand - comm.psum(jnp.sum((nb >= 0).astype(jnp.int32)))
+    return BroadphaseCache(anchor=b.pos, anchor_quat=b.quat, nb=nb,
+                           key=key, thr=thr, cand=cand, slack=slack,
+                           dropped=dropped)
+
+
+def refresh_scalar(bp: BroadphaseCache, diag_vec, b, exclusions, degree: int,
+                   margin: float, comm=None):
+    """Scalar-gated refresh: the reuse predicate reads the anchor-deviation
+    scalars the previous step's backend kernel computed on its final poses
+    (Diagnostics lanes 14/15 — the same two bounds ``refresh_or_reuse``
+    derives by reduction, see ``control_lanes``), so the per-step cost is
+    two scalar compares.  Returns (cache, refreshed bool)."""
+    need = (diag_vec[14] > 0.5 * margin) | (diag_vec[15] > bp.slack + margin)
+
+    def rebuild(_):
+        return build_bp_cache(b, exclusions, degree, margin, comm=comm)
+
+    return lax.cond(need, rebuild, lambda _: bp, operand=None), need
 
 
 def candidate_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
@@ -450,6 +477,75 @@ def bp_probe(nb, pos_cg, quat_cg, half_cg, radius_g, linvel_cg, angvel_cg,
     reach = travel[None] + gather(travel, idx) + 4.0 * dt * dt * grav_len
     near = jnp.any(valid & (best - reach <= collision_margin), axis=0)
     return min_sep, n_slots, near
+
+
+def control_lanes(nb, pos_cg, quat_cg, half_cg, radius_g, linvel_cg,
+                  angvel_cg, dynamic_g, anchor, anchor_quat, params,
+                  gather, comm=None):
+    """The step-control scalars (Diagnostics lanes 11-15), evaluated on
+    END-of-step state so the next step's gates are scalar logic.
+
+    Returns a 5-tuple (gate_speed_sq, near_speed_sq, min_cand_gap,
+    bp_dev_mm, bp_dev_raw) — see state.Diagnostics for semantics.  The gap
+    test uses the world-AABB surface gap: a true lower bound on box
+    distance (every axis separates), so ``min_cand_gap > collision_margin``
+    proves SAT's persistence test fails for every candidate pair — the
+    exact ballistic-step predicate (narrowphase at these poses yields zero
+    contacts; contacts only arise from candidate slots).  Runs as plain
+    jnp inside the Mosaic step kernel (select_gather) and as XLA on the
+    portable path (xla_gather); ``comm`` all-reduces for a body-sharded
+    world."""
+    if comm is None:
+        from ..comm import LOCAL_COMM as comm
+    valid = nb >= 0
+    idx = jnp.where(valid, nb, 0)
+
+    # World-AABB gap per candidate slot at the current poses.
+    wh = world_halves(tuple(quat_cg), tuple(half_cg))
+    pwh = [gather(wh[k], idx) for k in range(3)]
+    ppos = [gather(pos_cg[k], idx) for k in range(3)]
+    gap = jnp.maximum(
+        jnp.maximum(
+            jnp.abs(ppos[0] - pos_cg[0][None]) - (wh[0][None] + pwh[0]),
+            jnp.abs(ppos[1] - pos_cg[1][None]) - (wh[1][None] + pwh[1]),
+        ),
+        jnp.abs(ppos[2] - pos_cg[2][None]) - (wh[2][None] + pwh[2]),
+    )
+    min_gap = comm.pmin(jnp.min(jnp.where(valid, gap, 1.0e9)))
+
+    # Near mask: body could gain a contact row next step (worst-case mutual
+    # surface travel closes the gap to within the collision margin).
+    g_len = float(sum(x * x for x in params.gravity) ** 0.5)
+    speed_sq = sum(c * c for c in linvel_cg)
+    speed = jnp.sqrt(speed_sq)
+    wspin = jnp.sqrt(sum(c * c for c in angvel_cg)) * jnp.maximum(radius_g, 0.0)
+    travel = (speed + wspin) * params.dt
+    reach = travel[None] + gather(travel, idx) + 4.0 * params.dt**2 * g_len
+    near = jnp.any(valid & (gap - reach <= params.collision_margin), axis=0)
+
+    # Speed gates exclude bodies the fall-freeze pre-pass will make static
+    # before the next solve (solver.step), so both backends' gates see the
+    # same post-freeze speeds.
+    alive = dynamic_g
+    if params.fall_freeze_y > -1.0e8:
+        alive = alive & (pos_cg[1] >= params.fall_freeze_y)
+    v2 = jnp.where(alive, speed_sq, 0.0)
+    gate_speed_sq = comm.pmax(jnp.max(v2))
+    near_speed_sq = comm.pmax(jnp.max(jnp.where(near, v2, 0.0)))
+
+    # Broadphase-anchor deviation bounds (refresh_or_reuse's predicate,
+    # evaluated one step early on the same state).
+    disp = [pos_cg[k] - anchor[k] for k in range(3)]
+    disp2 = sum(d * d for d in disp)
+    moved = dynamic_g | (disp2 > 0.0)
+    chord = _rot_chord(tuple(quat_cg), tuple(anchor_quat), radius_g)
+    mf = moved.astype(jnp.float32)
+    nm = jnp.maximum(comm.psum(jnp.sum(mf)), 1.0)
+    t = [comm.psum(jnp.sum(d * mf)) / nm for d in disp]
+    dev = jnp.sqrt(sum((disp[k] - t[k]) ** 2 for k in range(3))) + chord
+    dev_mm = comm.pmax(jnp.max(jnp.where(moved, dev, 0.0)))
+    dev_raw = comm.pmax(jnp.max(jnp.where(moved, jnp.sqrt(disp2) + chord, 0.0)))
+    return gate_speed_sq, near_speed_sq, min_gap, dev_mm, dev_raw
 
 
 def neighbor_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,

@@ -44,7 +44,7 @@ from .maths import (
     solve66,
 )
 from .ops import replicated as rep
-from .ops.broadphase import refresh_or_reuse, symmetric_filter
+from .ops.broadphase import control_lanes, refresh_scalar, symmetric_filter
 from .ops.joints import (
     joint_accumulate,
     joint_decay,
@@ -72,20 +72,13 @@ def _sanitize(x, default, count):
 def stale_lhs_ok(b, bp, params, refine: bool = True, comm=None,
                  gather=None) -> "jnp.ndarray":
     """True when the stale-Hessian cadence (config.lhs_rebuild_every) is
-    safe this step.  Shared by both backends so the XLA path and the
-    Pallas path take the same branch on the same (pre-step) state.
+    safe this step, evaluated by reduction on the CURRENT state.
 
-    Cheap global test first: every dynamic body slow => safe.  When some
-    body is fast, refine with the broadphase probe: a fast body only
-    endangers the stale cadence if it is NEAR a candidate contact (its 6x6
-    Hessian can contain contact rows this step; a far ballistic body's
-    Hessian is mass/inertia-only and exact at any speed).  This keeps the
-    stale cadence alive through rain-on-pile regimes where the old global
-    max (round-2 solver.py:72-78) forced per-iteration rebuilds scene-wide.
-    ``refine=False`` (grid tier: the probe kernel is unblocked) keeps the
-    plain global gate.  ``comm``/``gather``: collective seam + partner-read
-    strategy for a body-sharded world (the gate must take the same branch
-    on every shard, so the maxes are all-reduced)."""
+    Only the grid tier still calls this (refine=False): the fused-kernel
+    and portable paths read the equivalent scalars from the previous
+    step's control block instead (state.Diagnostics lanes 11/12, computed
+    by ops/broadphase.control_lanes on end-of-step state — the same
+    predicate one launch earlier, for free)."""
     if comm is None:
         from .comm import LOCAL_COMM as comm
     gather = gather or rep.xla_gather
@@ -116,6 +109,47 @@ def stale_lhs_ok(b, bp, params, refine: bool = True, comm=None,
         return comm.pmax(jnp.max(jnp.where(near, v2, 0.0))) <= thresh
 
     return lax.cond(ok_global, lambda _: jnp.bool_(True), refined, operand=None)
+
+
+def control_gates(diag_vec, refreshed, params):
+    """Step-control predicates from the carried control block (scalar
+    logic only — see state.Diagnostics lanes 11-15).
+
+    Returns (stale_ok, calm).  The refined near-speed lane (12) was
+    computed against the PREVIOUS candidate lists, so it is trusted only
+    when this step reused them (``~refreshed``); on refresh steps the gate
+    falls back to the conservative global bound — exactly the steps where
+    bodies moved enough that freshness is warranted anyway."""
+    th2 = jnp.float32(params.lhs_stale_speed_max**2)
+    stale_ok = (diag_vec[11] <= th2) | (
+        jnp.logical_not(refreshed) & (diag_vec[12] <= th2)
+    )
+    calm_th = min(params.impact_speed_min, params.lhs_stale_speed_max)
+    calm = diag_vec[11] <= jnp.float32(calm_th**2)
+    return stale_ok, calm
+
+
+def attach_control(world: World, params: SolverParams, gather=rep.xla_gather,
+                   comm=None) -> World:
+    """Compute the control block on ``world``'s (end-of-step) state and
+    write it into diagnostics lanes 11-15.  Used by the portable XLA path
+    and the ballistic step; the fused Pallas kernel computes the identical
+    lanes in-kernel."""
+    b = world.bodies
+    lanes = control_lanes(
+        world.bp.nb, tuple(b.pos[k] for k in range(3)),
+        tuple(b.quat[k] for k in range(4)),
+        tuple(b.size[k] * 0.5 for k in range(3)), b.radius,
+        tuple(b.linvel[k] for k in range(3)),
+        tuple(b.angvel[k] for k in range(3)),
+        b.dynamic, world.bp.anchor, world.bp.anchor_quat, params, gather,
+        comm=comm,
+    )
+    vec = jnp.concatenate([
+        world.diagnostics.vec[:11],
+        jnp.stack([jnp.asarray(v, jnp.float32) for v in lanes]),
+    ])
+    return world.replace(diagnostics=world.diagnostics.replace(vec=vec))
 
 
 def _clamp_angular(w, max_speed):
@@ -253,7 +287,9 @@ def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
             max_lam_n, jnp.max(jnp.where(ok, jnp.abs(lam_c[s * 3]), 0.0), initial=0.0)
         )
 
-    diag = Diagnostics(
+    from .state import make_diagnostics
+
+    diag = make_diagnostics(
         max_penetration=comm.pmax(jnp.maximum(max_pen, 0.0)),
         max_constraint_violation=comm.pmax(jnp.maximum(max_violation, 0.0)),
         max_linear_speed=comm.pmax(jnp.max(lin_speed, initial=0.0)),
@@ -328,63 +364,48 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
         or (cap.backend == "auto" and jax.default_backend() == "tpu")
     )
 
+    if use_grid:
+        from . import solver_tpu
+
+        return solver_tpu.step_grid(world, params, cap)
+
+    # One broadphase refresh decision per step, scalar-gated on the carried
+    # control block (lanes 14/15); both backends below trust world.bp.
+    dv = world.diagnostics.vec
+    bp, refreshed = refresh_scalar(
+        world.bp, dv, world.bodies, world.exclusions, cap.max_degree,
+        params.bp_margin,
+    )
+    world = world.replace(bp=bp)
+
     def dispatch(w):
         if use_pallas:
             from . import solver_tpu
 
-            return solver_tpu.step_pallas(w, params, cap)
-        if use_grid:
-            from . import solver_tpu
-
-            return solver_tpu.step_grid(w, params, cap)
-        return _step_impl(w, params, cap, rep.xla_gather)
+            return solver_tpu.step_pallas(w, params, cap, refreshed=refreshed)
+        return _step_impl(w, params, cap, rep.xla_gather, refreshed=refreshed)
 
     # Ballistic fast path: when the previous step ended with zero contacts
-    # and the broadphase probe PROVES narrowphase at the current poses
-    # yields none (every candidate sphere gap > collision margin; no
-    # capacity drop), the step's exact result is the inertial target —
-    # skip the whole iterative solve.  Gated on the previous-step contact
-    # count so the settled hot path never pays for the probe.
+    # and its control block PROVES narrowphase yields none at the current
+    # poses (min candidate AABB gap > collision margin — lane 13 — with no
+    # candidate capacity drop), the step's exact result is the inertial
+    # target and the whole iterative solve is skipped.  All scalar logic;
+    # refresh steps conservatively run the full solve (the lane was
+    # computed against the previous candidate lists).
     ballistic_able = (
         params.ballistic
         and world.joints.dj == 0
         and world.springs.ds == 0
-        and not use_grid
         and (supports_pallas or jax.default_backend() != "tpu")
     )
     if not ballistic_able:
         return dispatch(world)
 
-    b = world.bodies
-    bp = refresh_or_reuse(
-        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
-    )
-    world = world.replace(bp=bp)
-
-    def probe_pred(_):
-        from .ops.broadphase import bp_probe
-
-        if jax.default_backend() == "tpu":
-            from . import solver_tpu
-
-            min_gap, n_slots, _near = solver_tpu.bp_probe_tpu(bp.nb, b, params)
-        else:
-            g_len = float(sum(x * x for x in params.gravity) ** 0.5)
-            min_gap, n_slots, _near = bp_probe(
-                bp.nb, tuple(b.pos[k] for k in range(3)),
-                tuple(b.quat[k] for k in range(4)),
-                tuple(b.size[k] * 0.5 for k in range(3)), b.radius,
-                tuple(b.linvel[k] for k in range(3)),
-                tuple(b.angvel[k] for k in range(3)),
-                params.dt, params.collision_margin, g_len, rep.xla_gather,
-            )
-        return (min_gap > params.collision_margin) & (n_slots == bp.cand)
-
-    # Probe only when the previous step ended contact-free (so the settled
-    # hot path pays nothing); the full backend path is traced exactly once.
-    ballistic_ok = lax.cond(
-        world.diagnostics.active_contacts == 0,
-        probe_pred, lambda _: jnp.bool_(False), operand=None,
+    ballistic_ok = (
+        (dv[5] == 0.0)
+        & (dv[13] > params.collision_margin)
+        & jnp.logical_not(refreshed)
+        & (bp.dropped == 0)
     )
     return lax.cond(
         ballistic_ok, lambda w: _ballistic_step(w, params, cap), dispatch,
@@ -396,9 +417,9 @@ def _ballistic_step(world: World, params: SolverParams, cap: Capacity) -> World:
     """Contact-free step: with zero active constraint rows the primal fixed
     point is exactly the inertial target (solver.cpp:344-409 with no force
     terms reduces to x <- x_tilde on the first iteration), so the iterative
-    solve is skipped entirely.  Caller guarantees (via the broadphase
-    probe) that narrowphase at these poses produces no contacts and that
-    the previous step's contact cache is empty."""
+    solve is skipped entirely.  Caller guarantees (via control lane 13)
+    that narrowphase at these poses produces no contacts and that the
+    previous step's contact cache is empty."""
     b = world.bodies
     linvel, angvel, inertial_pos, inertial_quat, _ps, _qs, sanitized = predict(
         b, params
@@ -406,16 +427,26 @@ def _ballistic_step(world: World, params: SolverParams, cap: Capacity) -> World:
     d, g = world.contacts.other.shape[0], b.g
     sep = jnp.zeros((4, d, g, 128), jnp.float32)
     once = jnp.zeros((d, g, 128), bool)
-    return finalize(
+    out = finalize(
         world, b, world.contacts, world.joints, world.springs,
         inertial_pos, inertial_quat, b.pos_n3, b.quat_n4,
         linvel, angvel, world.contacts.lam, sep, once,
         jnp.int32(0), sanitized, params,
     )
+    # Refill the control block on the new state so the NEXT step's gates
+    # stay scalar (on TPU via the tiny Mosaic probe kernel — an XLA gather
+    # over the (D, G, 128) slot indices would cost milliseconds here).
+    if jax.default_backend() == "tpu":
+        from . import solver_tpu
+
+        lanes = solver_tpu.control_lanes_tpu(out.bp.nb, out.bodies, out.bp, params)
+        vec = jnp.concatenate([out.diagnostics.vec[:11], lanes])
+        return out.replace(diagnostics=out.diagnostics.replace(vec=vec))
+    return attach_control(out, params)
 
 
 def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
-               comm=None) -> World:
+               comm=None, refreshed=None) -> World:
     """Portable whole-step implementation.
 
     ``comm`` (avbd3d_tpu.comm): collective seam.  With the default
@@ -423,7 +454,13 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     XLA path.  Inside ``parallel.sharded``'s shard_map the same code runs
     on this shard's (G_loc, 128) body rows: partner reads go through an
     all-gather-backed ``gather``, step-level gates and diagnostics are
-    all-reduced, and own-body indices are offset to global ids."""
+    all-reduced, and own-body indices are offset to global ids.
+
+    ``refreshed``: the broadphase-refresh flag when the caller (solver.step)
+    already ran the scalar-gated refresh; None = do it here (direct callers
+    like parallel.sharded).  The control block is replica-identical after
+    the all-reduces in control_lanes, so the scalar gates take the same
+    branch on every shard."""
     if comm is None:
         from .comm import LOCAL_COMM as comm
     b = world.bodies
@@ -437,14 +474,17 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
 
     # ------------------------------------------------------------------
     # Phase 1: broadphase (solver.cpp:261-270) — margin-enlarged candidate
-    # lists cached until some body moves > bp_margin/2, then the symmetric
-    # capacity filter (both stages in ops/broadphase.py).
+    # lists cached until the carried anchor-deviation scalars break the
+    # superset bound, then the symmetric capacity filter (ops/broadphase).
     # ------------------------------------------------------------------
-    bp = refresh_or_reuse(
-        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
-        comm=comm,
-    )
-    world = world.replace(bp=bp)
+    if refreshed is None:
+        bp, refreshed = refresh_scalar(
+            world.bp, world.diagnostics.vec, b, world.exclusions,
+            cap.max_degree, params.bp_margin, comm=comm,
+        )
+        world = world.replace(bp=bp)
+    else:
+        bp = world.bp
     neighbors, kept = symmetric_filter(
         bp.nb, bp.key, bp.thr, b.dynamic, gather,
         own_iota=own_iota, n_total=n_total if sharded else None,
@@ -535,6 +575,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     # penetration envelope through landing transients.  Bit-identical
     # when the scene already runs >= impact_iterations (boost is False
     # at trace time and nothing below changes).
+    stale_ok_gate, calm = control_gates(world.diagnostics.vec, refreshed, params)
     boost = 0 < params.iterations < params.impact_iterations
     if boost:
         # Global (unrefined) speed gate: during a coherent landing the
@@ -542,11 +583,6 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         # reach per slot) can stay calm through the compression steps
         # where the extra sweeps are needed — measured on Stack: refined
         # gate worst transient 0.0093, global gate 0.0004.
-        calm = stale_lhs_ok(
-            b, bp, params.replace(lhs_stale_speed_max=min(
-                params.impact_speed_min, params.lhs_stale_speed_max)),
-            refine=False, comm=comm, gather=gather,
-        )
         n_main = jnp.where(calm, params.iterations, params.impact_iterations)
         iters_end = n_main + (1 if params.post_stabilize else 0)
     else:
@@ -668,7 +704,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         # ramp every iteration — exactly the k=1 cadence.  The former
         # lax.cond between two whole phase-4 graphs doubled the traced step
         # graph (and XLA compile time) for identical values.
-        fresh = ~stale_lhs_ok(b, bp, params, comm=comm, gather=gather)
+        fresh = jnp.logical_not(stale_ok_gate)
         k_fr = max(1, params.lhs_fresh_rebuild_every)
 
         def loop_body(it, c):
@@ -711,11 +747,14 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     own_n = rep.body_iota(g) if own_iota is None else own_iota
     once = valid & ((own_n[None] < consts["idx"]) | ~other_dyn)
 
-    return finalize(
+    out = finalize(
         world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params,
         comm=comm,
     )
+    # Control block for the next step's scalar gates (lanes 11-15),
+    # evaluated on the final state against the candidate lists just used.
+    return attach_control(out, params, gather=gather, comm=comm)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "cap", "n_steps"))

@@ -222,6 +222,54 @@ def bp_probe_tpu(nb, b, params: SolverParams):
 
 
 # ---------------------------------------------------------------------------
+# Control-block kernel: the 5 step-control scalars (state.Diagnostics lanes
+# 11-15) on the current state — used by the ballistic fast path to refill
+# the block after skipping the solve (the fused step kernel computes the
+# same lanes in-kernel; ops/broadphase.control_lanes for semantics).
+# ---------------------------------------------------------------------------
+
+def _make_kernel_control(params: SolverParams):
+    from .ops.broadphase import control_lanes
+
+    def kernel(nb_ref, pos_ref, quat_ref, size_ref, rad_ref, lv_ref, av_ref,
+               invm_ref, anc_ref, ancq_ref, out_ref):
+        lanes = control_lanes(
+            nb_ref[:],
+            tuple(pos_ref[k] for k in range(3)),
+            tuple(quat_ref[k] for k in range(4)),
+            tuple(size_ref[k] * 0.5 for k in range(3)),
+            rad_ref[:],
+            tuple(lv_ref[k] for k in range(3)),
+            tuple(av_ref[k] for k in range(3)),
+            invm_ref[:] > 0.0, anc_ref[:], ancq_ref[:], params,
+            rep.select_gather,
+        )
+        lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for k, v in enumerate(lanes):
+            acc = acc + jnp.where((row == 0) & (lane == k), v, 0.0)
+        out_ref[:] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def control_lanes_tpu(nb, b, bp, params: SolverParams):
+    """Returns the (5,) f32 control block for diagnostics lanes 11-15."""
+    out = pl.pallas_call(
+        _make_kernel_control(params),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(nb, b.pos, b.quat, b.size, b.radius, b.linvel, b.angvel, b.inv_mass,
+      bp.anchor, bp.anchor_quat)
+    return out[0, :5]
+
+
+# ---------------------------------------------------------------------------
 # Kernel B: prediction + iterative solve + velocities + diagnostics
 # ---------------------------------------------------------------------------
 
@@ -727,16 +775,18 @@ _SFIELDS = ("other", "world", "side", "anchor_a", "anchor_b", "rrest",
 
 
 def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
-    from .ops.broadphase import symmetric_filter
+    from .ops.broadphase import control_lanes, symmetric_filter
 
     def kernel(*refs):
         old = _read_cache(refs[:12])
         nb_raw = refs[12][:]
         keys = refs[13][:]
         thr = refs[14][:]
-        (pos_r, quat_r, size_r, lv_r, av_r, plv_r, mass_r, invm_r, fric_r,
-         inertia_r, inv_inertia_r) = [r[:] for r in refs[15:26]]
-        at = 26
+        (pos_r, quat_r, size_r, rad_r, lv_r, av_r, plv_r, mass_r, invm_r,
+         fric_r, inertia_r, inv_inertia_r, anchor_r, anchor_q_r) = [
+            r[:] for r in refs[15:29]
+        ]
+        at = 29
         joints = springs = None
         if dj:
             joints = _JView(*[refs[at + i][:] for i in range(len(_JFIELDS))])
@@ -762,6 +812,19 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
             fric_r, inertia_r, inv_inertia_r, joints=joints, springs=springs,
             n_colors=n_colors, unroll=True,
         )
+        # Step-control block (state.Diagnostics lanes 11-15) on the FINAL
+        # poses/velocities, so the next step's gates (broadphase refresh,
+        # stale-Hessian cadence, ballistic) are pure scalar logic with no
+        # extra reductions or probe launches in the host step graph.
+        ctrl = control_lanes(
+            nb_raw,
+            tuple(outs[0][k] for k in range(3)),
+            tuple(outs[1][k] for k in range(4)),
+            body["half"], rad_r,
+            tuple(outs[2][k] for k in range(3)),
+            tuple(outs[3][k] for k in range(3)),
+            invm_r > 0.0, anchor_r, anchor_q_r, params, rep.select_gather,
+        )
         cache_out = _cache_to_args(new)
         cache_out[_CACHE_FIELDS.index("lam")] = outs[6]
         cache_out[_CACHE_FIELDS.index("penalty")] = outs[7]
@@ -771,6 +834,8 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
         diag = outs[9] + jnp.where(
             (row == 0) & (lane == 9), kept.astype(jnp.float32), 0.0
         )
+        for k, v in enumerate(ctrl):
+            diag = diag + jnp.where((row == 0) & (lane == 10 + k), v, 0.0)
         vals = cache_out + list(outs[:6]) + [diag] + list(outs[10:])
         for ref, val in zip(out_refs, vals):
             ref[:] = val
@@ -779,17 +844,19 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_colors"))
-def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, joints, springs,
-                    params: SolverParams, n_colors: int = 1):
-    """One fused kernel: phases 2-6.  Returns (contacts', bodies', diag,
-    kept, j_lam, j_pen, s_pen) — the last three None when the scene has no
-    joints/springs."""
+def step_kernel_tpu(old: Contacts, nb_raw, keys, thr, b, anchor, anchor_quat,
+                    joints, springs, params: SolverParams, n_colors: int = 1):
+    """One fused kernel: phases 2-6 plus the end-of-step control block.
+    Returns (contacts', bodies', diag, kept, j_lam, j_pen, s_pen) — the
+    last three None when the scene has no joints/springs.  ``anchor``/
+    ``anchor_quat``: the broadphase-cache anchor poses (the control block's
+    deviation lanes are measured against them)."""
     dj = joints.other.shape[0] if joints is not None else 0
     ds = springs.other.shape[0] if springs is not None else 0
     in_args = _cache_to_args(old) + [
-        nb_raw, keys, thr, b.pos, b.quat, b.size, b.linvel, b.angvel,
-        b.prev_linvel, b.mass, b.inv_mass, b.friction, b.inertia,
-        b.inv_inertia,
+        nb_raw, keys, thr, b.pos, b.quat, b.size, b.radius, b.linvel,
+        b.angvel, b.prev_linvel, b.mass, b.inv_mass, b.friction, b.inertia,
+        b.inv_inertia, anchor, anchor_quat,
     ]
     if dj:
         in_args += [getattr(joints, f) for f in _JFIELDS]
@@ -930,22 +997,33 @@ def solve_loop_math(contacts: Contacts, b, params: SolverParams, joints=None,
 # Full step
 # ---------------------------------------------------------------------------
 
-def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
-    """Broadphase in XLA; phases 2-6 in two mega-kernels.
+def step_pallas(world: World, params: SolverParams, cap: Capacity,
+                refreshed=None) -> World:
+    """Broadphase in XLA; phases 2-6 in one fused mega-kernel that also
+    emits the next step's control block (state.Diagnostics lanes 11-15).
 
-    Off-TPU (CPU tests, forced ``backend='pallas'``) the identical math runs
-    through the pure-XLA twins instead of pallas_call — same functions, no
-    Mosaic."""
-    from .ops.broadphase import refresh_or_reuse
-    from .solver import stale_lhs_ok
+    ``refreshed``: the broadphase-refresh flag when the caller (solver.step)
+    already ran the scalar-gated refresh; None = do it here (direct callers
+    and tests).  Off-TPU (CPU tests, forced ``backend='pallas'``) the
+    identical math runs through the pure-XLA twins instead of pallas_call —
+    same functions, no Mosaic."""
+    from .ops.broadphase import refresh_scalar
+    from .solver import attach_control, control_gates
 
     b = world.bodies
     on_tpu = jax.default_backend() == "tpu"
 
-    bp = refresh_or_reuse(
-        world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
+    if refreshed is None:
+        bp, refreshed = refresh_scalar(
+            world.bp, world.diagnostics.vec, b, world.exclusions,
+            cap.max_degree, params.bp_margin,
+        )
+        world = world.replace(bp=bp)
+    else:
+        bp = world.bp
+    stale_ok_gate, calm = control_gates(
+        world.diagnostics.vec, refreshed, params
     )
-    world = world.replace(bp=bp)
     has_j = world.joints.dj > 0
     has_s = world.springs.ds > 0
     jin = world.joints if has_j else None
@@ -957,7 +1035,8 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
             jv = _JView(*(getattr(jin, f) for f in _JFIELDS)) if has_j else None
             sv = _SView(*(getattr(sin, f) for f in _SFIELDS)) if has_s else None
             return step_kernel_tpu(
-                world.contacts, bp.nb, bp.key, bp.thr, b, jv, sv, par, n_colors
+                world.contacts, bp.nb, bp.key, bp.thr, b, bp.anchor,
+                bp.anchor_quat, jv, sv, par, n_colors
             )
     else:
         def run(par, fresh=None, n_main=None):
@@ -977,14 +1056,6 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
     # when the scene already runs >= impact_iterations.
     boost = 0 < params.iterations < params.impact_iterations
     if boost:
-        # Global (unrefined) gate — see solver._step_impl: the refined
-        # near-mask misses coherent-landing compression steps.
-        calm = stale_lhs_ok(
-            b, bp,
-            params.replace(lhs_stale_speed_max=min(
-                params.impact_speed_min, params.lhs_stale_speed_max)),
-            refine=False,
-        )
         boost_par = params.replace(iterations=params.impact_iterations)
 
     if params.lhs_rebuild_every > 1:
@@ -995,7 +1066,7 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         # graph is traced once (same values either way).
         k_fr = max(1, params.lhs_fresh_rebuild_every)
         if on_tpu or k_fr > 1:
-            fresh_gate = ~stale_lhs_ok(b, bp, params)
+            fresh_gate = jnp.logical_not(stale_ok_gate)
             if boost:
                 # calm <= (not fresh_gate): the calm branch always runs the
                 # stale cadence at scene iterations; the energetic branch
@@ -1020,7 +1091,7 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
                 )
             contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = outs
         else:
-            fresh = ~stale_lhs_ok(b, bp, params)
+            fresh = jnp.logical_not(stale_ok_gate)
             n_main = None
             if boost:
                 n_main = jnp.where(
@@ -1048,21 +1119,16 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
     joints = world.joints.replace(lam=j_lam, penalty=j_pen) if has_j else world.joints
     springs = world.springs.replace(penalty=s_pen) if has_s else world.springs
 
+    # Kernel diag row layout: lanes 0-7 reference diagnostics, 8 sanitized,
+    # 9 kept directed slots, 10-14 the control block.  State-vector layout:
+    # 0-8 same, 9 pair_overflow, 10 degree_overflow, 11-15 control
+    # (state.Diagnostics).
     dv = diag_v[0]
-    diag = Diagnostics(
-        max_penetration=dv[0],
-        max_constraint_violation=dv[1],
-        max_linear_speed=dv[2],
-        max_angular_speed=dv[3],
-        max_normal_impulse=dv[4],
-        active_contacts=dv[5].astype(jnp.int32),
-        active_manifolds=dv[6].astype(jnp.int32),
-        dynamic_bodies=dv[7].astype(jnp.int32),
-        pair_overflow=overflow,
-        degree_overflow=jnp.int32(0),
-        sanitized=dv[8].astype(jnp.int32),
+    counters = jnp.stack(
+        [overflow.astype(jnp.float32), jnp.zeros((), jnp.float32)]
     )
-    return world.replace(
+    diag = Diagnostics(vec=jnp.concatenate([dv[:9], counters, dv[10:15]]))
+    out = world.replace(
         bodies=bodies,
         contacts=contacts,
         joints=joints,
@@ -1070,6 +1136,11 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity) -> World:
         step_index=world.step_index + 1,
         diagnostics=diag,
     )
+    if on_tpu:
+        return out
+    # CPU twins don't carry the control lanes through the kernel outputs;
+    # fill them with the identical XLA computation.
+    return attach_control(out, params)
 
 
 # ---------------------------------------------------------------------------

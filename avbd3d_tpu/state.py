@@ -330,28 +330,139 @@ def empty_springs(n_bodies: int, max_springs: int = 0, degree: int = 0) -> Sprin
 @dataclasses.dataclass(frozen=True)
 class Diagnostics:
     """Per-step stats mirroring Solver::Diagnostics (solver.h:155-164),
-    plus TPU-rebuild safety counters (capacity overflows, NaN sanitizations)."""
+    plus TPU-rebuild safety counters and step-control scalars.
 
-    max_penetration: Any
-    max_constraint_violation: Any
-    max_linear_speed: Any
-    max_angular_speed: Any
-    max_normal_impulse: Any
-    active_contacts: Any
-    active_manifolds: Any
-    dynamic_bodies: Any
-    pair_overflow: Any       # candidate pairs dropped by capacity
-    degree_overflow: Any     # per-body incidence slots dropped
-    sanitized: Any           # non-finite states reset this step
+    Stored as ONE 16-lane f32 vector rather than 16 separate scalars: the
+    step is scanned on-device, and a pytree of separate scalars costs one
+    tiny extraction op per field per step on a backend where every XLA op
+    in the step graph has real launch overhead.  Field access goes through
+    properties; ``jax.device_get`` returns the same dataclass with a numpy
+    ``vec``, so host consumers are unchanged.
+
+    Lanes 11-15 are the step-control block, computed by the backend kernels
+    on END-of-step state so the NEXT step's control flow (Hessian-staleness
+    cadence, ballistic fast path, broadphase-cache refresh) is pure scalar
+    logic with no extra reductions or probe launches:
+
+      11  gate_speed_sq: max |v|^2 over dynamic bodies above fall_freeze_y
+      12  near_speed_sq: same max over bodies NEAR a candidate slot (AABB
+          gap minus one step of worst-case mutual travel within the
+          collision margin) — scopes the stale gate to bodies whose 6x6
+          Hessian can actually gain contact rows next step
+      13  min_cand_gap: min AABB surface gap over valid candidate slots
+          (1e9 when none).  The AABB gap lower-bounds box distance, so
+          min_cand_gap > collision_margin proves narrowphase at these
+          poses yields zero contacts (the ballistic predicate)
+      14  bp_dev_mm: max compensated surface motion vs the broadphase
+          anchor (see ops/broadphase.BroadphaseCache reuse bound 1)
+      15  bp_dev_raw: max raw surface motion vs the anchor (bound 2)
+    """
+
+    vec: Any   # (16,) f32
+
+    # --- reference diagnostics block (solver.h:155-164) ---
+    @property
+    def max_penetration(self):
+        return self.vec[0]
+
+    @property
+    def max_constraint_violation(self):
+        return self.vec[1]
+
+    @property
+    def max_linear_speed(self):
+        return self.vec[2]
+
+    @property
+    def max_angular_speed(self):
+        return self.vec[3]
+
+    @property
+    def max_normal_impulse(self):
+        return self.vec[4]
+
+    @property
+    def active_contacts(self):
+        return self.vec[5].astype(jnp.int32)
+
+    @property
+    def active_manifolds(self):
+        return self.vec[6].astype(jnp.int32)
+
+    @property
+    def dynamic_bodies(self):
+        return self.vec[7].astype(jnp.int32)
+
+    # --- safety counters ---
+    @property
+    def sanitized(self):
+        return self.vec[8].astype(jnp.int32)
+
+    @property
+    def pair_overflow(self):
+        return self.vec[9].astype(jnp.int32)
+
+    @property
+    def degree_overflow(self):
+        return self.vec[10].astype(jnp.int32)
+
+    # --- step-control block ---
+    @property
+    def gate_speed_sq(self):
+        return self.vec[11]
+
+    @property
+    def near_speed_sq(self):
+        return self.vec[12]
+
+    @property
+    def min_cand_gap(self):
+        return self.vec[13]
+
+    @property
+    def bp_dev_mm(self):
+        return self.vec[14]
+
+    @property
+    def bp_dev_raw(self):
+        return self.vec[15]
 
     def replace(self, **kw) -> "Diagnostics":
         return dataclasses.replace(self, **kw)
 
 
+# Sentinel control block for a world with no step history: speed gates
+# pessimistic (fresh Hessians), ballistic off (min gap 0), broadphase
+# refresh forced (dev 1e9).
+CONTROL_RESET = (1.0e9, 1.0e9, 0.0, 1.0e9, 1.0e9)
+
+
+def make_diagnostics(max_penetration=0.0, max_constraint_violation=0.0,
+                     max_linear_speed=0.0, max_angular_speed=0.0,
+                     max_normal_impulse=0.0, active_contacts=0,
+                     active_manifolds=0, dynamic_bodies=0, sanitized=0,
+                     pair_overflow=0, degree_overflow=0,
+                     control=CONTROL_RESET) -> Diagnostics:
+    vals = [max_penetration, max_constraint_violation, max_linear_speed,
+            max_angular_speed, max_normal_impulse, active_contacts,
+            active_manifolds, dynamic_bodies, sanitized, pair_overflow,
+            degree_overflow] + list(control)
+    vals = [jnp.asarray(v, jnp.float32) for v in vals]
+    return Diagnostics(vec=jnp.stack(vals))
+
+
 def zero_diagnostics() -> Diagnostics:
-    f0 = jnp.float32(0.0)
-    i0 = jnp.int32(0)
-    return Diagnostics(f0, f0, f0, f0, f0, i0, i0, i0, i0, i0, i0)
+    return make_diagnostics()
+
+
+def reset_control(diag: Diagnostics) -> Diagnostics:
+    """Invalidate the step-control block (lanes 11-15) after any
+    out-of-band world mutation (live spawn, manual state edit): forces a
+    broadphase refresh and fresh-Hessian cadence on the next step."""
+    vec = jnp.concatenate(
+        [diag.vec[:11], jnp.asarray(CONTROL_RESET, jnp.float32)]
+    )
+    return Diagnostics(vec=vec)
 
 
 @_pytree

@@ -107,16 +107,25 @@ class Sim:
             friction=b.friction.at[gi, li].set(friction),
             radius=b.radius.at[gi, li].set(radius),
         )
-        # Invalidate the broadphase cache so the new body is discovered now.
-        # (The spawned slot's pos jump alone already breaks the compensated
-        # reuse bound, but force it explicitly: a CONSTANT far anchor gives
+        # Invalidate the carried step-control block: the refresh gate and
+        # the stale-Hessian/ballistic gates read diagnostics lanes 11-15
+        # computed on the PRE-spawn state (state.reset_control), so any
+        # out-of-band world mutation must force pessimistic gates — a
+        # broadphase rebuild and fresh Hessians — on the next step.  The
+        # grid tier (>2048 bodies) gates its refresh on anchor deviation
+        # instead, so also break that bound: a CONSTANT far anchor gives
         # per-body displacements equal to -pos, whose spread exceeds
-        # margin/2 in any non-degenerate scene.  NOTE a uniform anchor
-        # SHIFT would no longer work — common translations are compensated,
-        # ops/broadphase.refresh_or_reuse.)
+        # margin/2 in any non-degenerate scene (a uniform anchor SHIFT
+        # would not work — common translations are compensated,
+        # ops/broadphase.refresh_or_reuse).
+        from .state import reset_control
+
         bp = self.world.bp.replace(
             anchor=jnp.full_like(self.world.bp.anchor, 1.0e9), slack=0.0)
-        self.world = self.world.replace(bodies=bodies, bp=bp)
+        self.world = self.world.replace(
+            bodies=bodies, bp=bp,
+            diagnostics=reset_control(self.world.diagnostics),
+        )
         self.n_real += 1
         return True
 

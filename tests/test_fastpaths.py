@@ -107,12 +107,18 @@ def test_probe_proves_no_contacts():
 
 
 def test_ballistic_step_matches_full_solve():
-    # One step from a contact-free state: ballistic on vs off must agree to
+    # Steps from a contact-free state: ballistic on vs off must agree to
     # f32 round-off (the zero-row primal converges to the inertial pose).
+    # Three steps, because the fast path arms itself from the carried
+    # control block (state.Diagnostics lanes 11-15): step 1 runs the full
+    # solve under the pessimistic reset block, steps 2-3 take the
+    # ballistic branch.
     world, params, cap, _ = _swarm_scene()
     p_off = params.replace(ballistic=False)
-    w_on = step(world, params, cap)
-    w_off = step(world, p_off, cap)
+    w_on, w_off = world, world
+    for _ in range(3):
+        w_on = step(w_on, params, cap)
+        w_off = step(w_off, p_off, cap)
     np.testing.assert_allclose(
         np.asarray(w_on.bodies.pos), np.asarray(w_off.bodies.pos), atol=1e-5
     )
