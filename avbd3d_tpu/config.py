@@ -166,7 +166,17 @@ class Capacity:
     counted in diagnostics — never silent.
     """
 
-    max_degree: int = 16       # max contact partners per body (D slots)
+    max_degree: int = 16       # max broadphase candidates per body (D slots)
+    # Contact-cache width (manifold slots per body).  0 = max_degree (no
+    # compaction).  When smaller, kernel A compacts the manifold-bearing
+    # candidate slots into this many cache slots right after narrowphase
+    # (ops/replicated.compact_manifolds): the broadphase must provision for
+    # the worst-case PROXIMITY degree, but every per-slot array in the
+    # warmstart match, the solve loop, and the cross-kernel cache traffic
+    # scales with the realized MANIFOLD degree, which is much smaller
+    # (Stress1000: 19 candidates vs 9 manifolds max).  Overflow is counted
+    # in diagnostics.degree_overflow, never silent.
+    cache_degree: int = 0
     joint_degree: int = 0      # max joints incident to one body
     spring_degree: int = 0     # max springs incident to one body
     # Number of colors in the joint-graph coloring (1 = no joints; the

@@ -98,7 +98,7 @@ class SceneBuilder:
 
     # ------------------------------------------------------------------
     def build(self, params: SolverParams, max_degree=None,
-              min_bodies: int = 0) -> tuple:
+              min_bodies: int = 0, cache_degree: int = 0) -> tuple:
         n_real = len(self.size)
         # Pad body count to a multiple of 128 (one full TPU lane group; the
         # replicated contact cache keys bodies as (group, lane)).  Above the
@@ -256,8 +256,10 @@ class SceneBuilder:
         # --- capacity plan ---
         if max_degree is None:
             max_degree = 32 if n_real > 256 else 16
+        dc = cache_degree or max_degree
         cap = Capacity(
             max_degree=max_degree,
+            cache_degree=cache_degree,
             joint_degree=j_deg,
             spring_degree=s_deg,
             joint_colors=n_colors,
@@ -267,7 +269,7 @@ class SceneBuilder:
 
         world = World(
             bodies=bodies,
-            contacts=empty_contacts(n_groups, max_degree),
+            contacts=empty_contacts(n_groups, dc),
             joints=joints,
             springs=springs,
             exclusions=jnp.asarray(excl),
@@ -490,13 +492,16 @@ def scene_stress1000():
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    # D=24: the settled pile's max broadphase degree is 19 (measured over
-    # 600 steps; active-manifold max is 9), so 24 slots leave headroom with
-    # zero overflow while costing 25% less than 32 in every (D, G, 128) op.
-    return sb.build(params, max_degree=24)
+    # D=24 candidate slots: the settled pile's max broadphase degree is 19
+    # (measured over 600 steps), so 24 leaves headroom with zero overflow.
+    # cache_degree=12: the realized MANIFOLD degree never exceeds 9 over
+    # the same run, so the solve/warmstart/cache arrays run at half the
+    # candidate width (overflow counted in diagnostics if a transient ever
+    # exceeds 12).
+    return sb.build(params, max_degree=24, cache_degree=12)
 
 
-def _scene_stress_n(nx, ny, nz, max_degree=24):
+def _scene_stress_n(nx, ny, nz, max_degree=24, cache_degree=12):
     """Capacity-scaling stress scenes beyond the reference's 10x10x10 (same
     hash-jitter construction, scenes.h:87-132 semantics at larger counts)."""
     sb = SceneBuilder()
@@ -515,7 +520,7 @@ def _scene_stress_n(nx, ny, nz, max_degree=24):
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    return sb.build(params, max_degree=max_degree)
+    return sb.build(params, max_degree=max_degree, cache_degree=cache_degree)
 
 
 def scene_stress2048():

@@ -138,16 +138,84 @@ def pair_constants(cache_other, body, gather, table=None):
 # Phase 2: narrowphase + cross-step match + warmstart init
 # ---------------------------------------------------------------------------
 
+def compact_manifolds(dc: int, neighbors, count, feature, slot_ok, normal,
+                      x_a, x_b):
+    """Compact the manifold-bearing slots (count > 0) of the (D, G, 128)
+    post-narrowphase arrays into the first ``dc`` slots per body,
+    preserving candidate order.
+
+    This is the contact-cache width reduction (Capacity.cache_degree): the
+    broadphase must provision D candidate slots for the worst-case
+    *proximity* degree (Stress1000: 19), but the realized *manifold*
+    degree is much smaller (max 9 over the full run), and every per-slot
+    array in the solve loop, the warmstart match, and the cross-kernel
+    cache traffic scales with the cache width.  Overflowing manifolds
+    (rank >= dc) are dropped and counted — never silent (diagnostics
+    degree_overflow).
+
+    Returns (neighbors, count, feature[4], slot_ok[4], normal 3-tuple,
+    x_a[4] 3-tuples, x_b[4] 3-tuples, dropped) at width dc."""
+    d = neighbors.shape[0]
+    mask = count > 0
+    run = jnp.zeros_like(count[0])
+    rank = []
+    for dd in range(d):
+        rank.append(run)
+        run = run + mask[dd].astype(jnp.int32)
+    dropped = jnp.sum(jnp.maximum(run - dc, 0))
+
+    # One fused select sweep over a stacked plane family per dtype (a
+    # (P, G, 128) select per candidate slot per target slot), instead of
+    # P independent D x dc sweeps.
+    ints = jnp.stack(
+        [neighbors, count] + list(feature)
+        + [ok.astype(jnp.int32) for ok in slot_ok]
+    )  # (10, D, G, 128)
+    flts = jnp.stack(
+        list(normal)
+        + [x_a[s][k] for s in range(4) for k in range(3)]
+        + [x_b[s][k] for s in range(4) for k in range(3)]
+    )  # (27, D, G, 128)
+    zero_i = jnp.zeros_like(count[0])
+    int_dflt = jnp.stack(
+        [zero_i - 1, zero_i] + [zero_i - 1] * 4 + [zero_i] * 4
+    )
+    int_out, flt_out = [], []
+    for t in range(dc):
+        acc_i, acc_f = int_dflt, jnp.zeros_like(flts[:, 0])
+        for dd in range(d):
+            sel = mask[dd] & (rank[dd] == t)
+            acc_i = jnp.where(sel, ints[:, dd], acc_i)
+            acc_f = jnp.where(sel, flts[:, dd], acc_f)
+        int_out.append(acc_i)
+        flt_out.append(acc_f)
+    ic = jnp.stack(int_out, axis=1)  # (10, dc, G, 128)
+    fc = jnp.stack(flt_out, axis=1)  # (27, dc, G, 128)
+
+    neighbors_c, count_c = ic[0], ic[1]
+    feature_c = [ic[2 + s] for s in range(4)]
+    slot_ok_c = [ic[6 + s] > 0 for s in range(4)]
+    normal_c = tuple(fc[k] for k in range(3))
+    x_a_c = [tuple(fc[3 + s * 3 + k] for k in range(3)) for s in range(4)]
+    x_b_c = [tuple(fc[15 + s * 3 + k] for k in range(3)) for s in range(4)]
+    return (neighbors_c, count_c, feature_c, slot_ok_c, normal_c, x_a_c,
+            x_b_c, dropped)
+
+
 def collide_and_init(old: Contacts, neighbors, body, params, gather,
-                     own_iota=None, table=None) -> Contacts:
+                     own_iota=None, table=None):
     """Replicated narrowphase + warmstart transfer (manifold.cpp:71-175,
-    solver.cpp:281-293).
+    solver.cpp:281-293).  Returns (Contacts, dropped-manifold count).
 
     ``neighbors`` (D, G, 128): new per-body neighbor indices (-1 empty),
-    evaluated at the pre-prediction poses.  Cross-step pair matching is a
-    D x D_old masked compare *within each body's own slots* — no global
-    merge needed because the cache is body-local.  ``own_iota``/``table``:
-    grid-backend blocking, see pair_frames.
+    evaluated at the pre-prediction poses.  When the ``old`` cache is
+    NARROWER than the candidate list (Capacity.cache_degree < max_degree),
+    the manifold-bearing slots are compacted into the cache width right
+    after narrowphase (``compact_manifolds``) so the warmstart match and
+    everything downstream runs at the smaller width.  Cross-step pair
+    matching is a D x D_old masked compare *within each body's own slots*
+    — no global merge needed because the cache is body-local.
+    ``own_iota``/``table``: grid-backend blocking, see pair_frames.
     """
     from .narrowphase_cm import collide_pairs_cm
 
@@ -169,6 +237,20 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
     slot_ok = [ok & valid for ok in geom["slot_ok"]]
     feature = [jnp.where(ok, ft, -1) for ok, ft in zip(slot_ok, geom["feature"])]
     count = jnp.where(valid, geom["count"], 0)
+    g_normal = geom["normal"]
+    g_xa = geom["x_a"]
+    g_xb = geom["x_b"]
+
+    d_cache = old.other.shape[0]
+    dropped = jnp.int32(0)
+    if d_cache < d_new:
+        (neighbors, count, feature, slot_ok, g_normal, g_xa, g_xb,
+         dropped) = compact_manifolds(
+            d_cache, neighbors, count, feature, slot_ok, g_normal, g_xa,
+            g_xb,
+        )
+        frames = pair_frames(neighbors, body, gather, own_iota, table)
+        valid = frames["valid"]
 
     # ---- pair match against the body's OWN old slots ----
     # Pass 1: find each new slot's matching old-slot index (cheap compare
@@ -203,13 +285,13 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
     o_lam = [fetch(old.lam[r]) for r in range(12)]
     o_pen = [fetch(old.penalty[r]) for r in range(12)]
 
-    new_n_unit = cm.normalize_or(geom["normal"], _UP)
+    new_n_unit = cm.normalize_or(g_normal, _UP)
     old_n_unit = cm.normalize_or(tuple(o_normal), new_n_unit)
     normal_dot = cm.dot(new_n_unit, old_n_unit)
 
     # ---- within-pair greedy feature match (manifold.cpp:109-119) ----
     used = [jnp.zeros_like(valid) for _ in range(4)]
-    n_unit, t1, t2 = _contact_basis(geom["normal"])
+    n_unit, t1, t2 = _contact_basis(g_normal)
 
     r_a_slots, r_b_slots, stick_slots = [], [], []
     lam_rows, pen_rows = [], []
@@ -253,9 +335,9 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
                 m_lam[k] = jnp.where(elig, o_lam[j * 3 + k], m_lam[k])
                 m_pen[k] = jnp.where(elig, o_pen[j * 3 + k], m_pen[k])
 
-        new_r_a = cm.q_rotate_inv(frames["qa"], cm.sub(geom["x_a"][i], frames["pa"]))
-        new_r_b = cm.q_rotate_inv(frames["qb"], cm.sub(geom["x_b"][i], frames["pb"]))
-        new_mid = cm.scale(cm.add(geom["x_a"][i], geom["x_b"][i]), 0.5)
+        new_r_a = cm.q_rotate_inv(frames["qa"], cm.sub(g_xa[i], frames["pa"]))
+        new_r_b = cm.q_rotate_inv(frames["qb"], cm.sub(g_xb[i], frames["pb"]))
+        new_mid = cm.scale(cm.add(g_xa[i], g_xb[i]), 0.5)
 
         drift2 = cm.length_sq(cm.sub(new_mid, m_mid))
         warm = (
@@ -319,7 +401,7 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
         c0_t2=jnp.stack(c0t2_slots),
         lam=jnp.stack(lam_rows),
         penalty=jnp.stack(pen_rows),
-    )
+    ), dropped
 
 
 def _contact_basis(normal):

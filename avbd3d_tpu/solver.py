@@ -232,7 +232,7 @@ def predict(b, params):
 
 def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
              linvel, angvel, lam_c, sep_slots, once, overflow, sanitized,
-             params, comm=None):
+             params, comm=None, degree_overflow=None):
     """Phases 5+6: velocity reconstruction + damping (solver.cpp:433-469)
     and diagnostics (solver.cpp:471-513).
 
@@ -301,7 +301,8 @@ def finalize(world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         ),
         dynamic_bodies=comm.psum(jnp.sum(dyn_n.astype(jnp.int32))),
         pair_overflow=overflow,
-        degree_overflow=jnp.int32(0),
+        degree_overflow=(jnp.int32(0) if degree_overflow is None
+                         else comm.psum(degree_overflow)),
         sanitized=comm.psum(sanitized),
     )
 
@@ -494,7 +495,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     # ------------------------------------------------------------------
     # Phase 2: narrowphase + warmstart + decay (solver.cpp:273-296)
     # ------------------------------------------------------------------
-    contacts = rep.collide_and_init(
+    contacts, man_dropped = rep.collide_and_init(
         world.contacts, neighbors, tables, params, gather, own_iota=own_iota
     )
     joints = joint_decay(world.joints, params)
@@ -750,7 +751,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
     out = finalize(
         world, b, contacts, joints, springs, pos_f, quat_f, pos0, quat0,
         linvel, angvel, lam_c, sep_slots, once, overflow, sanitized, params,
-        comm=comm,
+        comm=comm, degree_overflow=man_dropped,
     )
     # Control block for the next step's scalar gates (lanes 11-15),
     # evaluated on the final state against the candidate lists just used.

@@ -133,13 +133,16 @@ def _make_kernel_a(params: SolverParams):
         # ~7 ns/element in XLA — see ops/broadphase.py).
         dynamic = body["inv_mass"] > 0.0
         neighbors, kept = symmetric_filter(nb_raw, keys, thr, dynamic, rep.select_gather)
-        new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
+        new, dropped = rep.collide_and_init(
+            old, neighbors, body, params, rep.select_gather
+        )
         for ref, val in zip(out_refs[:-1], _cache_to_args(new)):
             ref[:] = val
         lane = lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        out_refs[-1][:] = jnp.where(
-            (row == 0) & (lane == 0), kept.astype(jnp.float32), 0.0
+        out_refs[-1][:] = (
+            jnp.where((row == 0) & (lane == 0), kept.astype(jnp.float32), 0.0)
+            + jnp.where((row == 0) & (lane == 1), dropped.astype(jnp.float32), 0.0)
         )
 
     return kernel
@@ -148,7 +151,7 @@ def _make_kernel_a(params: SolverParams):
 @functools.partial(jax.jit, static_argnames=("params",))
 def collide_and_init_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverParams):
     """Kernel A: symmetric broadphase filter + narrowphase + warmstart init.
-    Returns (contacts, kept directed-slot count)."""
+    Returns (contacts, kept directed-slot count, dropped-manifold count)."""
     in_args = _cache_to_args(old) + [nb_raw, keys, thr, b.pos, b.quat, b.size,
                                      b.inv_mass, b.friction]
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in _cache_to_args(old)]
@@ -161,7 +164,8 @@ def collide_and_init_tpu(old: Contacts, nb_raw, keys, thr, b, params: SolverPara
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(*in_args)
-    return _args_to_cache(outs[:-1]), outs[-1][0, 0].astype(jnp.int32)
+    return (_args_to_cache(outs[:-1]), outs[-1][0, 0].astype(jnp.int32),
+            outs[-1][0, 1].astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -806,7 +810,9 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
         neighbors, kept = symmetric_filter(
             nb_raw, keys, thr, invm_r > 0.0, rep.select_gather
         )
-        new = rep.collide_and_init(old, neighbors, body, params, rep.select_gather)
+        new, dropped = rep.collide_and_init(
+            old, neighbors, body, params, rep.select_gather
+        )
         outs = _kernel_b_math(
             params, new, pos_r, quat_r, lv_r, av_r, plv_r, mass_r, invm_r,
             fric_r, inertia_r, inv_inertia_r, joints=joints, springs=springs,
@@ -836,6 +842,9 @@ def _make_kernel_step(params: SolverParams, dj: int, ds: int, n_colors: int):
         )
         for k, v in enumerate(ctrl):
             diag = diag + jnp.where((row == 0) & (lane == 10 + k), v, 0.0)
+        diag = diag + jnp.where(
+            (row == 0) & (lane == 15), dropped.astype(jnp.float32), 0.0
+        )
         vals = cache_out + list(outs[:6]) + [diag] + list(outs[10:])
         for ref, val in zip(out_refs, vals):
             ref[:] = val
@@ -965,7 +974,8 @@ def collide_and_init_math(old: Contacts, nb_raw, keys, thr, b, params: SolverPar
     }
     gather = _math_gather()
     neighbors, kept = symmetric_filter(nb_raw, keys, thr, b.inv_mass > 0.0, gather)
-    return rep.collide_and_init(old, neighbors, body, params, gather), kept
+    contacts, dropped = rep.collide_and_init(old, neighbors, body, params, gather)
+    return contacts, kept, dropped
 
 
 @functools.partial(jax.jit, static_argnames=("params", "n_colors"))
@@ -1040,13 +1050,14 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity,
             )
     else:
         def run(par, fresh=None, n_main=None):
-            contacts, kept = collide_and_init_math(
+            contacts, kept, dropped = collide_and_init_math(
                 world.contacts, bp.nb, bp.key, bp.thr, b, par
             )
             bodies, lam, pen, stick, diag_v, j_lam, j_pen, s_pen = solve_loop_math(
                 contacts, b, par, jin, sin, n_colors, fresh, n_main
             )
             contacts = contacts.replace(lam=lam, penalty=pen, stick=stick)
+            diag_v = diag_v.at[0, 15].add(dropped.astype(jnp.float32))
             return contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen
 
     # Impact iteration boost (config.impact_iterations): energetic
@@ -1120,13 +1131,11 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity,
     springs = world.springs.replace(penalty=s_pen) if has_s else world.springs
 
     # Kernel diag row layout: lanes 0-7 reference diagnostics, 8 sanitized,
-    # 9 kept directed slots, 10-14 the control block.  State-vector layout:
-    # 0-8 same, 9 pair_overflow, 10 degree_overflow, 11-15 control
-    # (state.Diagnostics).
+    # 9 kept directed slots, 10-14 the control block, 15 dropped manifolds.
+    # State-vector layout: 0-8 same, 9 pair_overflow, 10 degree_overflow,
+    # 11-15 control (state.Diagnostics).
     dv = diag_v[0]
-    counters = jnp.stack(
-        [overflow.astype(jnp.float32), jnp.zeros((), jnp.float32)]
-    )
+    counters = jnp.stack([overflow.astype(jnp.float32), dv[15]])
     diag = Diagnostics(vec=jnp.concatenate([dv[:9], counters, dv[10:15]]))
     out = world.replace(
         bodies=bodies,
@@ -1236,7 +1245,7 @@ def _make_kernel_a_grid(params: SolverParams, gb: int, n_total: int):
             nb_blk, keys_blk, thr_full, invm_t > 0.0, rep.select_gather,
             own_iota, n_total,
         )
-        new = rep.collide_and_init(
+        new, dropped = rep.collide_and_init(
             old, neighbors, body, params, rep.select_gather, own_iota, table
         )
         # Pair dedup mask for diagnostics counting (one replica per pair).
@@ -1247,9 +1256,18 @@ def _make_kernel_a_grid(params: SolverParams, gb: int, n_total: int):
         ) > 0.5
         once = valid & ((own_iota[None] < idx) | ~other_dyn)
 
+        # Per-block dropped-manifold count parked at the block's (0, 0)
+        # cell; the host sums the assembled plane.
+        brow = lax.broadcasted_iota(jnp.int32, (gb, 128), 0)
+        blane = lax.broadcasted_iota(jnp.int32, (gb, 128), 1)
+        drop_plane = jnp.where(
+            (brow == 0) & (blane == 0), dropped.astype(jnp.float32), 0.0
+        )
+
         vals = _cache_to_args(new) + [
             (neighbors >= 0).astype(jnp.float32),
             once.astype(jnp.float32),
+            drop_plane,
         ]
         for ref, val in zip(out_refs, vals):
             ref[:] = val
@@ -1277,7 +1295,7 @@ def _collide_grid_math(old: Contacts, nb_raw, keys, thr, b,
         "inv_mass": b.inv_mass,
         "friction": b.friction,
     }
-    caches, kepts, onces = [], [], []
+    caches, kepts, onces, drops = [], [], [], []
     for pid in range(g // gb):
         own_iota = _block_iota(pid, gb)
         old_blk = jax.tree_util.tree_map(lambda x: blk(x, pid), old)
@@ -1292,7 +1310,7 @@ def _collide_grid_math(old: Contacts, nb_raw, keys, thr, b,
             blk(nb_raw, pid), blk(keys, pid), thr, dyn_t, rep.xla_gather,
             own_iota, g * 128,
         )
-        new = rep.collide_and_init(
+        new, dropped = rep.collide_and_init(
             old_blk, neighbors, body, params, rep.xla_gather, own_iota, table
         )
         valid = new.other >= 0
@@ -1301,18 +1319,19 @@ def _collide_grid_math(old: Contacts, nb_raw, keys, thr, b,
         onces.append(valid & ((own_iota[None] < idx) | ~other_dyn))
         kepts.append((neighbors >= 0).astype(jnp.float32))
         caches.append(new)
+        drops.append(dropped)
 
     def cat(leaves):
         return jnp.concatenate(leaves, axis=leaves[0].ndim - 2)
 
     cache = jax.tree_util.tree_map(lambda *xs: cat(list(xs)), *caches)
-    return cache, cat(kepts), cat(onces)
+    return cache, cat(kepts), cat(onces), sum(drops)
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
 def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
                           params: SolverParams):
-    """Gridded kernel A.  Returns (contacts, keptmask, once)."""
+    """Gridded kernel A.  Returns (contacts, keptmask, once, dropped)."""
     d, g, _ = nb_raw.shape
     gb = _pick_gb(g)
     if _interpret_mode():
@@ -1332,9 +1351,11 @@ def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
            _full_spec(b.inv_mass.shape), _full_spec(b.friction.shape)]
     )
     shp = jax.ShapeDtypeStruct
+    dc = old.other.shape[0]
     out_shape = [shp(a.shape, a.dtype) for a in cache_args] + [
-        shp((d, g, 128), jnp.float32),   # keptmask
-        shp((d, g, 128), jnp.float32),   # once
+        shp((d, g, 128), jnp.float32),   # keptmask (candidate width)
+        shp((dc, g, 128), jnp.float32),  # once (cache width)
+        shp((g, 128), jnp.float32),      # per-block dropped-manifold counts
     ]
     out_specs = [_blk_spec(s.shape, gb) for s in out_shape]
     outs = pl.pallas_call(
@@ -1346,7 +1367,8 @@ def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(*in_args)
-    return _args_to_cache(outs[:12]), outs[12], outs[13] > 0.5
+    return (_args_to_cache(outs[:12]), outs[12], outs[13] > 0.5,
+            jnp.sum(outs[14]).astype(jnp.int32))
 
 
 def _iter_grid_math(params, cache, consts, static, own_iota, pos, quat,
@@ -1623,13 +1645,13 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     g = b.g
     n = b.n
     gb = _pick_gb(g)
-    d = cap.max_degree
+    d = world.contacts.d  # cache width (cap.cache_degree or max_degree)
 
     bp = refresh_or_reuse(
         world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
     )
     world = world.replace(bp=bp)
-    contacts, keptmask, once = collide_and_init_grid(
+    contacts, keptmask, once, man_dropped = collide_and_init_grid(
         world.contacts, bp.nb, bp.key, bp.thr, b, params
     )
     overflow = bp.cand - jnp.sum(keptmask).astype(jnp.int32)
@@ -1766,5 +1788,5 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     return finalize(
         world, b, contacts, world.joints, world.springs, pos_f, quat_f,
         pos0, quat0, linvel, angvel, lam, sep_slots, once, overflow,
-        sanitized, params,
+        sanitized, params, degree_overflow=man_dropped,
     )

@@ -61,7 +61,7 @@ def main():
     tables = body_tables(b)
     bench(
         "collide_and_init",
-        jax.jit(lambda old, nbi: rep.collide_and_init(old, nbi, tables, p, rep.xla_gather)),
+        jax.jit(lambda old, nbi: rep.collide_and_init(old, nbi, tables, p, rep.xla_gather)[0]),
         w.contacts, nb,
     )
 

@@ -90,7 +90,7 @@ def main():
     @jax.jit
     def ka(contacts, bodies):
         def body(cts, _):
-            new, kept = solver_tpu.collide_and_init_tpu.__wrapped__(
+            new, kept, _dropped = solver_tpu.collide_and_init_tpu.__wrapped__(
                 cts, nb, key, thr, bodies, p
             )
             return new, kept
@@ -99,7 +99,7 @@ def main():
 
     timed("kernel A", ka, w.contacts, b)
 
-    contacts, _kept = solver_tpu.collide_and_init_tpu(w.contacts, nb, key, thr, b, p)
+    contacts, _kept, _drop = solver_tpu.collide_and_init_tpu(w.contacts, nb, key, thr, b, p)
 
     # ---- kernel B at several iteration counts ----
     for its in (p.iterations, 5, 1):
