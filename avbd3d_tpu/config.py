@@ -129,8 +129,27 @@ class SolverParams:
     # unconditionally stable with anchor drift ~8e-4 under dynamic load
     # (vs inf for the reference).  Isolated joints (no chain) are stable
     # under ascent and converge lambda to the exact constraint force, so
-    # the knob stays available.
+    # the knob stays available.  (An iteration-stationarity gate was also
+    # tried and diverges: a chain's Jacobi contraction is ~(1 - 1/L^2) per
+    # iteration, so an unconverged residual looks stationary — measured
+    # lambda 4e12 on RodJointed.  See ops/joints.joint_dual.)
     joint_dual_rate: float = 0.0
+    # Slow once-per-step dual tracker on hard joint rows
+    # (ops/joints.joint_dual_ema): lambda += eta*penalty*C at the final
+    # poses, with the phase-2 lambda decay skipped for these rows.  At
+    # quasi-static force balance this is lambda += eta*(T - lambda) — an
+    # exponential tracker whose fixed point is EXACTLY the constraint
+    # force, with time constant 1/eta steps; the small rate averages out
+    # the penalty-ramp limit-cycle breathing that keeps chains from ever
+    # strictly resting, and makes divergence structurally impossible
+    # (per-step growth bounded by eta times the physical row force).
+    # Validated on RodJointed (tools/joint_dual_study.py): 2000 steps
+    # stable; at iterations=20 the chain rests and per-link lambda matches
+    # the analytic chain tension within 0.6% (at the default 10 sweeps a
+    # 15-link chain never converges per step and lambda tracks the inflated
+    # dynamic holding force — bounded, but ~6.5x the static tension).
+    # 0 disables (pure penalty equilibrium).
+    joint_ema_rate: float = 0.05
     # Impact iteration boost: energetic near-contact steps run
     # max(iterations, impact_iterations) primal/dual sweeps instead of
     # ``iterations``.  The Jacobi primal converges ~2x slower than the
@@ -167,15 +186,16 @@ class Capacity:
     """
 
     max_degree: int = 16       # max broadphase candidates per body (D slots)
-    # Contact-cache width (manifold slots per body).  0 = max_degree (no
-    # compaction).  When smaller, kernel A compacts the manifold-bearing
-    # candidate slots into this many cache slots right after narrowphase
-    # (ops/replicated.compact_manifolds): the broadphase must provision for
-    # the worst-case PROXIMITY degree, but every per-slot array in the
-    # warmstart match, the solve loop, and the cross-kernel cache traffic
-    # scales with the realized MANIFOLD degree, which is much smaller
-    # (Stress1000: 19 candidates vs 9 manifolds max).  Overflow is counted
-    # in diagnostics.degree_overflow, never silent.
+    # Contact-cache width (near-contact slots per body).  0 = max_degree
+    # (no culling).  When smaller, kernel A pre-culls the candidate slots
+    # to this width by the cheap 6-face-axis separation test BEFORE the
+    # 15-axis SAT (ops/replicated.precull_near): the broadphase must
+    # provision for the worst-case PROXIMITY degree, but the narrowphase,
+    # the warmstart match, the solve loop, and the cross-kernel cache
+    # traffic all scale with the realized NEAR degree, which is much
+    # smaller (Stress1000: 20 candidates vs 10 near slots vs 9 manifolds
+    # max).  Overflow is counted in diagnostics.degree_overflow, never
+    # silent.
     cache_degree: int = 0
     joint_degree: int = 0      # max joints incident to one body
     spring_degree: int = 0     # max springs incident to one body

@@ -491,11 +491,22 @@ def scene_stress1000():
                 py = start_y + y * spacing_y + jy
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
-    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
-    # D=24 candidate slots: the settled pile's max broadphase degree is 19
-    # (measured over 600 steps), so 24 leaves headroom with zero overflow.
-    # cache_degree=12: the realized MANIFOLD degree never exceeds 9 over
-    # the same run, so the solve/warmstart/cache arrays run at half the
+    # lhs_fresh_rebuild_every=4: the landing cascade reuses the stale
+    # Hessian on the same 4-iteration AL blocks as the calm regime.
+    # Measured (round 4, full 700-step envelope): maxPen 0.0000, ejected
+    # bodies 0 (the C++ reference loses 15 on this scene), overflow 0,
+    # settled manifold count unchanged — and the falling window runs 17%
+    # faster (2270 -> 2659 steps/s).  Safe here because the penalty ramp
+    # only fires on rebuild block tails (the round-2 catapult came from
+    # ramping against a stale Hessian, since fixed by the AL cadence).
+    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995,
+                          lhs_fresh_rebuild_every=4)
+    # D=24 candidate slots: the settled pile's max broadphase degree is 20
+    # (measured over 700 steps), so 24 leaves headroom with zero overflow.
+    # cache_degree=12: the realized NEAR degree (candidates within the
+    # collision margin on the 6 face axes — the precull_near width) never
+    # exceeds 10 and the manifold degree never exceeds 9 over the same
+    # run, so the narrowphase/solve/warmstart/cache arrays run at half the
     # candidate width (overflow counted in diagnostics if a transient ever
     # exceeds 12).
     return sb.build(params, max_degree=24, cache_degree=12)
@@ -519,7 +530,9 @@ def _scene_stress_n(nx, ny, nz, max_degree=24, cache_degree=12):
                 py = start_y + y * spacing_y + jy
                 pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
                 sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
-    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995)
+    # Same impact-cadence tuning as Stress1000 (see scene_stress1000).
+    params = SolverParams(iterations=20, beta=30000.0, gamma=0.995,
+                          lhs_fresh_rebuild_every=4)
     return sb.build(params, max_degree=max_degree, cache_degree=cache_degree)
 
 
@@ -565,7 +578,14 @@ def scene_soft_body():
 
 def scene_rod_jointed():
     """The rod the reference intended: 15 segments welded end to end,
-    top segment static."""
+    top segment static.
+
+    iterations=20: a 15-link chain under a Jacobi primal needs ~2x the
+    default sweep count to converge each step; at 20 the chain comes fully
+    to rest and the joint dual tracker's lambda matches the analytic chain
+    tension within 0.6% on every link (tools/joint_dual_study.py).  At the
+    default 10 the chain keeps a standing micro-stretch oscillation and
+    lambda tracks the inflated dynamic holding force instead."""
     sb = SceneBuilder()
     prev = None
     for i in range(15):
@@ -574,7 +594,7 @@ def scene_rod_jointed():
         if prev is not None:
             sb.add_joint(prev, curr, (0, -0.5, 0), (0, 0.5, 0))
         prev = curr
-    return sb.build(SolverParams())
+    return sb.build(SolverParams(iterations=20))
 
 
 def scene_soft_grid():

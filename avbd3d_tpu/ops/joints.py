@@ -37,17 +37,25 @@ def _row_stiff(j: Joints):
 
 
 def joint_decay(joints: Joints, params) -> Joints:
-    """Phase-2 warmstart decay (solver.cpp:281-293) for joint rows."""
+    """Phase-2 warmstart decay (solver.cpp:281-293) for joint rows.
+
+    With the slow end-of-step dual tracker on (config.joint_ema_rate),
+    hard rows skip the alpha*gamma lambda decay: the tracker IS the
+    forgetting mechanism (when the load vanishes, C goes negative-ward and
+    lambda relaxes at the same eta rate), and keeping the decay would
+    shift the tracker's fixed point well below the true constraint force
+    (see ops/joints.joint_dual_ema)."""
     if joints.dj == 0:
         return joints
+    stiff = jnp.stack(_row_stiff(joints))
+    soft = (stiff > 0.0) & jnp.isfinite(stiff)
     lam = joints.lam
     if not params.post_stabilize:
-        lam = lam * (params.alpha * params.gamma)
+        dec = lam * (params.alpha * params.gamma)
+        lam = jnp.where(soft, dec, lam) if params.joint_ema_rate > 0.0 else dec
     pen = jnp.clip(
         joints.penalty * params.gamma, params.penalty_min, params.joint_penalty_cap
     )
-    stiff = jnp.stack(_row_stiff(joints))
-    soft = (stiff > 0.0) & jnp.isfinite(stiff)
     pen = jnp.where(soft, jnp.minimum(pen, stiff), pen)
     valid = (joints.other >= 0)[None]
     return joints.replace(lam=jnp.where(valid, lam, 0.0), penalty=pen)
@@ -190,9 +198,14 @@ def joint_dual(geom, j: Joints, lam, pen, beta, params):
     lambda += penalty*C, and the row is always "active" so the penalty
     always ramps).  Replica-identical.
 
-    Stability: the full-rate ascent diverges under a Jacobi primal on
-    stiff chains (see config.joint_dual_rate), so the lambda rate is a
-    knob defaulting to penalty-only."""
+    Stability: the per-iteration ascent diverges under a Jacobi primal on
+    stiff chains at ANY rate — including with an iteration-stationarity
+    gate (measured round 4: a chain's Jacobi contraction is ~(1 - 1/L^2)
+    per iteration, so an unconverged residual looks "stationary" and the
+    gate admits 20 integrations of it per step; lambda reached 4e12 on
+    RodJointed).  The lambda rate therefore stays a knob defaulting to
+    penalty-only; the sound ascent is the once-per-step slow tracker
+    (``joint_dual_ema``), on by default."""
     stiff = _row_stiff(j)
     lam_new, pen_new = [], []
     for r in range(6):
@@ -231,3 +244,45 @@ def joint_dual(geom, j: Joints, lam, pen, beta, params):
         lam_new.append(lam_r)
         pen_new.append(pen_r)
     return jnp.stack(lam_new), jnp.stack(pen_new)
+
+
+def joint_dual_ema(geom, j: Joints, lam, pen, params):
+    """Once-per-step slow dual ascent on hard joint rows
+    (config.joint_ema_rate) at the FINAL (post-solve) poses.
+
+    Why this form: the per-iteration AL ascent integrates 10-20 unconverged
+    Jacobi residuals per step and diverges on chains at any rate, gated or
+    not (ops/joints.joint_dual docstring); and penalty-only chains never
+    come fully to rest — the beta-ramp/gamma-decay limit cycle keeps a
+    standing micro-stretch oscillation (measured on RodJointed: maxLin
+    breathes 0.01-0.16 forever) — so a rest-gated ascent has nothing sound
+    to fire on either.  Instead, hard rows SKIP the phase-2 lambda decay
+    (joint_decay) and integrate once per step at a slow rate:
+
+        lambda += eta * penalty * C_final
+
+    At quasi-static force balance ``lambda + penalty*C = T`` this is
+    ``lambda += eta*(T - lambda)`` — an exponential tracker with fixed
+    point EXACTLY the constraint force T and time constant 1/eta steps; C
+    shrinks to T*(residual)/penalty as lambda takes the load.  Divergence
+    is structurally impossible: per-step growth is bounded by eta times the
+    physical row force.  Validated on RodJointed (tools/joint_dual_study.py,
+    2000 steps): at iterations=20 the chain comes fully to rest (maxLin
+    1e-4 — the lambda warmstart itself cures the penalty-ramp limit cycle)
+    and every link's lambda matches the analytic chain tension within 0.6%.
+    Caveat: the fixed point is "the force that holds the chain's REALIZED
+    per-step configuration" — with an unconverged primal (10 Jacobi
+    iterations on a 15-link chain) the standing oscillation biases lambda
+    to ~6.5x the static tension, still bounded and stable.  Long chains
+    should run iterations >= 20 (scene_rod_jointed does).
+
+    Deviation from solver.cpp:411-429 (per-iteration ascent + alpha*gamma
+    decay) is deliberate and measured: the reference NaNs on its own rod
+    scene (PARITY.md)."""
+    eta = params.joint_ema_rate
+    stiff = _row_stiff(j)
+    out = []
+    for r in range(6):
+        hard = ~jnp.isfinite(stiff[r]) & geom["valid"]
+        out.append(jnp.where(hard, lam[r] + eta * pen[r] * geom["C"][r], lam[r]))
+    return jnp.stack(out)

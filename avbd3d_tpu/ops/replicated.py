@@ -138,68 +138,79 @@ def pair_constants(cache_other, body, gather, table=None):
 # Phase 2: narrowphase + cross-step match + warmstart init
 # ---------------------------------------------------------------------------
 
-def compact_manifolds(dc: int, neighbors, count, feature, slot_ok, normal,
-                      x_a, x_b):
-    """Compact the manifold-bearing slots (count > 0) of the (D, G, 128)
-    post-narrowphase arrays into the first ``dc`` slots per body,
-    preserving candidate order.
+def precull_near(dc: int, neighbors, body, params, gather, own_iota=None,
+                 table=None):
+    """Compact the (D, G, 128) candidate slots to the ``dc`` slots whose
+    6-face-axis separation is within the collision margin, BEFORE the
+    expensive 15-axis SAT + clipping runs.
 
     This is the contact-cache width reduction (Capacity.cache_degree): the
     broadphase must provision D candidate slots for the worst-case
-    *proximity* degree (Stress1000: 19), but the realized *manifold*
-    degree is much smaller (max 9 over the full run), and every per-slot
-    array in the solve loop, the warmstart match, and the cross-kernel
-    cache traffic scales with the cache width.  Overflowing manifolds
-    (rank >= dc) are dropped and counted — never silent (diagnostics
-    degree_overflow).
+    *proximity* degree (Stress1000: 20 measured), but slots whose best
+    face-axis separation exceeds the margin provably produce no contacts
+    (SAT requires separation <= margin on ALL 15 axes, and the 6 face axes
+    are a subset — the same early-out testAxis applies,
+    collision.cpp:231-234), so the full narrowphase, the warmstart match,
+    and the whole solve loop run at the realized near-degree width
+    (max 10 measured on Stress1000 vs 20 candidates).  The cull keeps
+    candidate (deepest-gap-first) order, so a non-overflowing culled run
+    is value-identical to the full-width one: culled slots would have
+    contributed exact zeros to every masked reduction.  Overflow
+    (near slots beyond dc) is dropped and counted — never silent
+    (diagnostics degree_overflow).
 
-    Returns (neighbors, count, feature[4], slot_ok[4], normal 3-tuple,
-    x_a[4] 3-tuples, x_b[4] 3-tuples, dropped) at width dc."""
+    The margin gets a +1e-4 guard so f32 rounding differences between this
+    6-axis evaluation and the SAT's own axis tests can never cull a slot
+    the SAT would have accepted at the boundary.
+
+    Returns (neighbors (dc, G, 128), dropped count)."""
+    table = body if table is None else table
+    valid = neighbors >= 0
+    idx = jnp.where(valid, neighbors, 0)
+    pp = gather_comps(table["pos"], idx, gather)
+    pq = gather_comps(table["quat"], idx, gather)
+    ph = gather_comps(table["half"], idx, gather)
+    own_pos = tuple(c[None] for c in body["pos"])
+    delta = tuple(pp[k] - own_pos[k] for k in range(3))
+    own_ax = [tuple(c[None] for c in ax)
+              for ax in cm.q_axes(tuple(body["quat"]))]
+    own_half = tuple(h[None] for h in body["half"])
+    par_ax = cm.q_axes(tuple(pq))
+
+    def proj(axes, half, n_vec):
+        return sum(
+            half[k] * jnp.abs(
+                axes[k][0] * n_vec[0] + axes[k][1] * n_vec[1]
+                + axes[k][2] * n_vec[2]
+            )
+            for k in range(3)
+        )
+
+    best = jnp.full(neighbors.shape, -1.0e9, jnp.float32)
+    for n_vec in list(own_ax) + list(par_ax):
+        sep = (
+            jnp.abs(sum(delta[i] * n_vec[i] for i in range(3)))
+            - proj(own_ax, own_half, n_vec)
+            - proj(par_ax, ph, n_vec)
+        )
+        best = jnp.maximum(best, sep)
+    keep = valid & (best <= params.collision_margin + 1.0e-4)
+
     d = neighbors.shape[0]
-    mask = count > 0
-    run = jnp.zeros_like(count[0])
+    run = jnp.zeros_like(neighbors[0])
     rank = []
     for dd in range(d):
         rank.append(run)
-        run = run + mask[dd].astype(jnp.int32)
+        run = run + keep[dd].astype(jnp.int32)
     dropped = jnp.sum(jnp.maximum(run - dc, 0))
-
-    # One fused select sweep over a stacked plane family per dtype (a
-    # (P, G, 128) select per candidate slot per target slot), instead of
-    # P independent D x dc sweeps.
-    ints = jnp.stack(
-        [neighbors, count] + list(feature)
-        + [ok.astype(jnp.int32) for ok in slot_ok]
-    )  # (10, D, G, 128)
-    flts = jnp.stack(
-        list(normal)
-        + [x_a[s][k] for s in range(4) for k in range(3)]
-        + [x_b[s][k] for s in range(4) for k in range(3)]
-    )  # (27, D, G, 128)
-    zero_i = jnp.zeros_like(count[0])
-    int_dflt = jnp.stack(
-        [zero_i - 1, zero_i] + [zero_i - 1] * 4 + [zero_i] * 4
-    )
-    int_out, flt_out = [], []
+    out = []
+    empty = jnp.full_like(neighbors[0], -1)
     for t in range(dc):
-        acc_i, acc_f = int_dflt, jnp.zeros_like(flts[:, 0])
+        acc = empty
         for dd in range(d):
-            sel = mask[dd] & (rank[dd] == t)
-            acc_i = jnp.where(sel, ints[:, dd], acc_i)
-            acc_f = jnp.where(sel, flts[:, dd], acc_f)
-        int_out.append(acc_i)
-        flt_out.append(acc_f)
-    ic = jnp.stack(int_out, axis=1)  # (10, dc, G, 128)
-    fc = jnp.stack(flt_out, axis=1)  # (27, dc, G, 128)
-
-    neighbors_c, count_c = ic[0], ic[1]
-    feature_c = [ic[2 + s] for s in range(4)]
-    slot_ok_c = [ic[6 + s] > 0 for s in range(4)]
-    normal_c = tuple(fc[k] for k in range(3))
-    x_a_c = [tuple(fc[3 + s * 3 + k] for k in range(3)) for s in range(4)]
-    x_b_c = [tuple(fc[15 + s * 3 + k] for k in range(3)) for s in range(4)]
-    return (neighbors_c, count_c, feature_c, slot_ok_c, normal_c, x_a_c,
-            x_b_c, dropped)
+            acc = jnp.where(keep[dd] & (rank[dd] == t), neighbors[dd], acc)
+        out.append(acc)
+    return jnp.stack(out), dropped
 
 
 def collide_and_init(old: Contacts, neighbors, body, params, gather,
@@ -210,8 +221,9 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
     ``neighbors`` (D, G, 128): new per-body neighbor indices (-1 empty),
     evaluated at the pre-prediction poses.  When the ``old`` cache is
     NARROWER than the candidate list (Capacity.cache_degree < max_degree),
-    the manifold-bearing slots are compacted into the cache width right
-    after narrowphase (``compact_manifolds``) so the warmstart match and
+    the candidates are pre-culled to the cache width by the cheap
+    6-face-axis separation test BEFORE the 15-axis SAT runs
+    (``precull_near``), so the narrowphase, the warmstart match, and
     everything downstream runs at the smaller width.  Cross-step pair
     matching is a D x D_old masked compare *within each body's own slots*
     — no global merge needed because the cache is body-local.
@@ -221,6 +233,12 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
 
     d_new, g, _ = neighbors.shape
     table = body if table is None else table
+    d_cache = old.other.shape[0]
+    dropped = jnp.int32(0)
+    if d_cache < d_new:
+        neighbors, dropped = precull_near(
+            d_cache, neighbors, body, params, gather, own_iota, table
+        )
     frames = pair_frames(neighbors, body, gather, own_iota, table)
     valid = frames["valid"]
     is_a = frames["is_a"]
@@ -240,17 +258,6 @@ def collide_and_init(old: Contacts, neighbors, body, params, gather,
     g_normal = geom["normal"]
     g_xa = geom["x_a"]
     g_xb = geom["x_b"]
-
-    d_cache = old.other.shape[0]
-    dropped = jnp.int32(0)
-    if d_cache < d_new:
-        (neighbors, count, feature, slot_ok, g_normal, g_xa, g_xb,
-         dropped) = compact_manifolds(
-            d_cache, neighbors, count, feature, slot_ok, g_normal, g_xa,
-            g_xb,
-        )
-        frames = pair_frames(neighbors, body, gather, own_iota, table)
-        valid = frames["valid"]
 
     # ---- pair match against the body's OWN old slots ----
     # Pass 1: find each new slot's matching old-slot index (cheap compare

@@ -50,6 +50,7 @@ from .ops.joints import (
     joint_decay,
     joint_dual,
     joint_force,
+    joint_dual_ema,
     joint_geometry,
 )
 from .ops.springs import (
@@ -662,7 +663,8 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         lam_c2, pen_c2, stick2 = rep.dual_update(crs2, geom2, pen_c, params.beta, params)
         if has_joints:
             jgeom2 = joint_geometry(joints, pose_dict(new_pos, new_quat), gather)
-            lam_j2, pen_j2 = joint_dual(jgeom2, joints, lam_j, pen_j, params.beta, params)
+            lam_j2, pen_j2 = joint_dual(jgeom2, joints, lam_j, pen_j,
+                                        params.beta, params)
         else:
             lam_j2, pen_j2 = lam_j, pen_j
 
@@ -731,6 +733,13 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
 
         carry = lax.fori_loop(0, iters_end, loop_body, carry0)
     pos_f, quat_f, _geom, lam_c, pen_c, stick, lam_j, pen_j, sanitized, _ = carry
+
+    # Slow once-per-step joint dual tracker (ops/joints.joint_dual_ema):
+    # lambda converges to the constraint force without the chain
+    # divergence of the per-iteration ascent.
+    if has_joints and params.joint_ema_rate > 0.0:
+        jgeom_f = joint_geometry(joints, pose_dict(pos_f, quat_f), gather)
+        lam_j = joint_dual_ema(jgeom_f, joints, lam_j, pen_j, params)
 
     contacts = contacts.replace(lam=lam_c, penalty=pen_c, stick=stick)
     joints = joints.replace(lam=lam_j, penalty=pen_j)

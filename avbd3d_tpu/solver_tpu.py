@@ -652,6 +652,14 @@ def _kernel_b_math(params: SolverParams, cache: Contacts, pos_r, quat_r, lv_r,
     nlv, san = _san3(nlv, (0.0, 0.0, 0.0), san)
     nav, san = _san3(nav, (0.0, 0.0, 0.0), san)
 
+    # Slow once-per-step joint dual tracker (ops/joints.joint_dual_ema)
+    # on the final poses — same math as solver.step's XLA path.
+    if has_j and params.joint_ema_rate > 0.0:
+        from .ops.joints import joint_dual_ema
+
+        jgf = joint_geometry(joints, {"pos": pos_f, "quat": quat_f}, gather)
+        j_lam_f = joint_dual_ema(jgf, joints, j_lam_f, j_pen_f, params)
+
     # ---- phase 6: diagnostics (solver.cpp:471-513) ----
     # geom_f is the loop's final geometry, evaluated at the final poses
     # (the sanitize above only changes poses in pathological NaN cases).
@@ -1076,7 +1084,12 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity,
         # the CPU twin folds the gate in as a traced boolean so the step
         # graph is traced once (same values either way).
         k_fr = max(1, params.lhs_fresh_rebuild_every)
-        if on_tpu or k_fr > 1:
+        if k_fr == params.lhs_rebuild_every and not boost:
+            # Energetic cadence == calm cadence (and no iteration boost):
+            # the fresh/calm branches would compile two identical kernels —
+            # skip the gate entirely.
+            contacts, bodies, diag_v, kept, j_lam, j_pen, s_pen = run(params)
+        elif on_tpu or k_fr > 1:
             fresh_gate = jnp.logical_not(stale_ok_gate)
             if boost:
                 # calm <= (not fresh_gate): the calm branch always runs the

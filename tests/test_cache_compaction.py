@@ -1,14 +1,15 @@
 """Contact-cache width compaction (Capacity.cache_degree).
 
 The broadphase provisions D candidate slots for the worst-case proximity
-degree, but the realized manifold degree is much smaller; compacting the
-manifold-bearing slots into a narrower cache right after narrowphase
-(ops/replicated.compact_manifolds) halves the per-slot work in the
-warmstart match and the solve loop.  Because the compaction preserves
-candidate order and padded slots contribute exact zeros to every masked
-reduction, a non-overflowing compacted run must be BIT-IDENTICAL to the
-uncompacted one — asserted here, along with honest overflow accounting
-when the cache is provisioned too small.
+degree, but the realized near-contact degree is much smaller; pre-culling
+the candidates to a narrower cache by the 6-face-axis separation test
+BEFORE the 15-axis SAT (ops/replicated.precull_near) shrinks the
+narrowphase, the warmstart match, and the solve loop.  Because the cull
+preserves candidate order, only removes slots whose face-axis separation
+proves the SAT must fail, and padded slots contribute exact zeros to
+every masked reduction, a non-overflowing culled run must be
+BIT-IDENTICAL to the full-width one — asserted here, along with honest
+overflow accounting when the cache is provisioned too small.
 """
 
 import numpy as np

@@ -77,3 +77,42 @@ def test_envelopes_match_reference(oracle):
         assert ours["maxPen"] <= 0.005   # penetration-slop parity
         assert ours["maxLin"] <= ref["maxLin"] + 0.05  # settles as well
         assert int(ours["below"]) == int(ref["below"]) == 0
+
+
+def test_wide_envelopes_match_reference(oracle):
+    """Pyramid/Wall end-state envelopes (PARITY.md rows, now gate-asserted).
+
+    The contact-graph size is allowed a small relative slack: Jacobi vs
+    Gauss-Seidel settles micro-arrangements differently (SURVEY.md section
+    7), which shifts a handful of touching-pair manifolds at rest.
+    """
+    for scene in ("Pyramid", "Wall"):
+        ref = oracle.run_oracle(scene, 300)
+        ours = oracle.run_ours(scene, 300)
+        assert abs(ours["mf"] - ref["mf"]) <= 0.08 * ref["mf"] + 2
+        assert abs(ours["ct"] - ref["ct"]) <= 0.08 * ref["ct"] + 8
+        assert ours["maxPen"] <= 0.005
+        assert ours["maxLin"] <= ref["maxLin"] + 0.05
+        assert ours["miny"] >= ref["miny"] - 0.05
+        assert int(ours["below"]) == int(ref["below"]) == 0
+
+
+def test_stress1000_envelope_matches_reference(oracle):
+    """600-step Stress1000 (settled pile) envelope vs the oracle.
+
+    The C++ Gauss-Seidel itself ejects ~15 cubes during the landing cascade
+    (they free-fall forever; PERF_NOTES.md round-2); the Jacobi cascade here
+    ejects at most a couple.  The parity bar: a formed pile of comparable
+    contact-graph size, penetration never past the slop, and no MORE bodies
+    lost than the reference loses.  Fall-freeze is disabled inside
+    run_ours, so the documented quarantine deviation cannot mask drift.
+    """
+    ref = oracle.run_oracle("Stress1000", 600)
+    ours = oracle.run_ours("Stress1000", 600)
+    assert ours["maxPen"] <= 0.005
+    assert int(ours["below"]) <= int(ref["below"])
+    # Pile actually formed, with a contact graph in the reference's range.
+    assert ours["mf"] >= 0.7 * ref["mf"]
+    assert ours["ct"] >= 0.7 * ref["ct"]
+    assert ours["mf"] <= 1.4 * ref["mf"]
+    assert ours["ct"] <= 1.4 * ref["ct"]
