@@ -202,10 +202,26 @@ class Capacity:
     # Number of colors in the joint-graph coloring (1 = no joints; the
     # primal pass runs one Gauss-Seidel sub-pass per color).
     joint_colors: int = 1
+    # Broadphase refresh algorithm: 0 = row-blocked O(N²) masked matrix;
+    # > 0 = sorted-axis sweep with this window (candidate_lists_swept) —
+    # sub-quadratic, exactness-guarded (falls back to the matrix inside a
+    # lax.cond whenever the window could miss a pair), identical outputs.
+    # The window must cover the worst-case count of bodies overlapping in
+    # sorted order along the sweep axis; the stress scenes measure ~0.1*N.
+    # Single-shard only (sharded worlds keep the matrix path).
+    bp_window: int = 0
     # 'auto': fused Pallas kernel on TPU up to 2048 bodies, gridded Pallas
     # (contact-only) up to 16384, portable XLA otherwise.  'xla' /
     # 'pallas' / 'grid' force a backend.
     backend: str = "auto"
+    # Grid tier: solver iterations resident per gridded launch.  Within a
+    # launch each block's own poses stay exact (its table rows are rewritten
+    # in VMEM every iteration) while OTHER blocks' partner poses hold their
+    # launch-start values — so residency bounds the cross-block pose lag
+    # (block-Jacobi).  1 = per-iteration launches (no lag, max launch
+    # overhead).  4 matches the stress scenes' AL cadence and was validated
+    # by the large-N envelope probe (tools/stress_envelope_probe.py).
+    grid_residency: int = 4
 
     def replace(self, **kw) -> "Capacity":
         return dataclasses.replace(self, **kw)

@@ -151,7 +151,8 @@ def empty_bp_cache(n_groups: int, degree: int) -> BroadphaseCache:
 
 
 def refresh_or_reuse(bp: BroadphaseCache, b, exclusions, degree: int,
-                     margin: float, comm=None) -> BroadphaseCache:
+                     margin: float, comm=None,
+                     window: int = 0) -> BroadphaseCache:
     """Rebuild the candidate lists only when the cached superset guarantee
     no longer holds (the two conditions in BroadphaseCache).  ``b``: the
     Bodies SoA (pos/quat/size/radius/dynamic are read).
@@ -181,20 +182,30 @@ def refresh_or_reuse(bp: BroadphaseCache, b, exclusions, degree: int,
     need = need_mm | need_ms
 
     def rebuild(_):
-        return build_bp_cache(b, exclusions, degree, margin, comm=comm)
+        return build_bp_cache(b, exclusions, degree, margin, comm=comm,
+                              window=window)
 
     return lax.cond(need, rebuild, lambda _: bp, operand=None)
 
 
 def build_bp_cache(b, exclusions, degree: int, margin: float,
-                   comm=None) -> BroadphaseCache:
-    """Fresh candidate lists anchored at the current poses."""
+                   comm=None, window: int = 0) -> BroadphaseCache:
+    """Fresh candidate lists anchored at the current poses.  ``window`` > 0
+    selects the guarded sub-quadratic sweep (``candidate_lists_swept``) on
+    single-shard worlds; 0 = the row-blocked O(N²) matrix."""
     if comm is None:
         from ..comm import LOCAL_COMM as comm
-    nb, key, thr, cand, slack = candidate_lists(
-        b.pos, b.quat, tuple(b.size[k] * 0.5 for k in range(3)),
-        b.radius, b.dynamic, exclusions, degree, margin, comm=comm,
-    )
+    half = tuple(b.size[k] * 0.5 for k in range(3))
+    if window > 0 and comm.n_shards == 1:
+        nb, key, thr, cand, slack = candidate_lists_swept(
+            b.pos, b.quat, half, b.radius, b.dynamic, exclusions, degree,
+            margin, window, comm=comm,
+        )
+    else:
+        nb, key, thr, cand, slack = candidate_lists(
+            b.pos, b.quat, half, b.radius, b.dynamic, exclusions, degree,
+            margin, comm=comm,
+        )
     dropped = cand - comm.psum(jnp.sum((nb >= 0).astype(jnp.int32)))
     return BroadphaseCache(anchor=b.pos, anchor_quat=b.quat, nb=nb,
                            key=key, thr=thr, cand=cand, slack=slack,
@@ -202,7 +213,7 @@ def build_bp_cache(b, exclusions, degree: int, margin: float,
 
 
 def refresh_scalar(bp: BroadphaseCache, diag_vec, b, exclusions, degree: int,
-                   margin: float, comm=None):
+                   margin: float, comm=None, window: int = 0):
     """Scalar-gated refresh: the reuse predicate reads the anchor-deviation
     scalars the previous step's backend kernel computed on its final poses
     (Diagnostics lanes 14/15 — the same two bounds ``refresh_or_reuse``
@@ -211,7 +222,8 @@ def refresh_scalar(bp: BroadphaseCache, diag_vec, b, exclusions, degree: int,
     need = (diag_vec[14] > 0.5 * margin) | (diag_vec[15] > bp.slack + margin)
 
     def rebuild(_):
-        return build_bp_cache(b, exclusions, degree, margin, comm=comm)
+        return build_bp_cache(b, exclusions, degree, margin, comm=comm,
+                              window=window)
 
     return lax.cond(need, rebuild, lambda _: bp, operand=None), need
 
@@ -373,6 +385,208 @@ def candidate_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
         comm.psum(candidate_slots),
         comm.pmin(slack),
     )
+
+
+def candidate_lists_swept(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
+                          exclusions, degree: int, margin: float,
+                          window: int, n_fat: int = 8, comm=None):
+    """Sub-quadratic candidate selection: sorted-axis sweep with a bounded
+    window, exactness-guarded (SURVEY §2#4; replaces the reference's O(n²)
+    loop, solver.cpp:261-270, with the scaling the north star mandates).
+
+    Strategy — same outputs as ``candidate_lists`` (the slots, keys, and
+    threshold feeding ``symmetric_filter`` are untouched downstream):
+
+    1. Bodies are sorted by their world-AABB minimum along the axis with
+       the largest center spread.  Any overlapping pair is then within
+       ``window`` sorted positions of each other — **provided no body's
+       axis extent spans more than the window's reach**.  Pair gaps are
+       evaluated only for the (N, window) banded pairs via rolled arrays
+       (no gathers), cutting both the mask work and the top_k width from
+       N to ~2*window+n_fat columns.
+    2. The ``n_fat`` largest-extent bodies (the ground slab: its AABB spans
+       every body on two axes, which would force window = N) are pulled out
+       of the sweep and tested against every body as dense overlay columns.
+    3. An exactness guard falls back to the full O(N²) row-blocked path
+       (one lax.cond) whenever the window could provably miss a pair:
+       some slim body's first beyond-window neighbor is within margin of
+       its AABB max, or a fat body is dynamic (fat rows only get fat
+       partners from the overlay).  The swept result is therefore always
+       IDENTICAL to the matrix path (modulo ±1 gap-quantization ulps from
+       differing XLA codegen — the same tolerance as the row-blocked
+       equivalence, tests/test_grid_backend.py), never an approximation.
+
+    ``slack`` is conservative: beyond-window pairs contribute their sorted
+    axis-gap lower bound whenever any sweep-resident static body exists
+    (extra refreshes at worst, never a missed one).  Single-shard only —
+    sharded worlds keep the row-blocked matrix path.
+    """
+    if comm is None:
+        from ..comm import LOCAL_COMM as comm
+    assert comm.n_shards == 1, "swept broadphase is single-shard"
+    g = radius_g.shape[0]
+    n = g * 128
+    w = int(window)
+    assert 0 < w and w + 1 < n
+    wh_cg = world_halves(tuple(quat_cg[k] for k in range(4)), half_cg)
+    c = [pos_cg[k].reshape(n) for k in range(3)]
+    wh = [wh_cg[k].reshape(n) for k in range(3)]
+    radius = radius_g.reshape(n)
+    dyn = dynamic_g.reshape(n)
+    real = radius > 0.0
+    excl = (exclusions.reshape(exclusions.shape[0], n)
+            if exclusions.shape[0] else None)
+    n_e = excl.shape[0] if excl is not None else 0
+
+    # Key packing identical to candidate_lists (global constants).
+    q_max = (2**31 - 1) // n - 1
+    max_wh = jnp.maximum(jnp.maximum(jnp.max(wh[0]), jnp.max(wh[1])),
+                         jnp.max(wh[2]))
+    gap_range = jnp.maximum(2.0 * max_wh + margin, 1e-6)
+
+    def quant(gap):
+        return jnp.clip(
+            (gap + gap_range) * (q_max / gap_range), 0.0, float(q_max)
+        ).astype(jnp.int32)
+
+    # Sweep axis: the largest real-body center spread.
+    big = jnp.float32(3.0e38)
+    spread = jnp.stack([
+        jnp.max(jnp.where(real, c[k], -big)) - jnp.min(jnp.where(real, c[k], big))
+        for k in range(3)
+    ])
+    ax = jnp.argmax(spread)
+    c_ax = jnp.where(ax == 0, c[0], jnp.where(ax == 1, c[1], c[2]))
+    wh_ax = jnp.where(ax == 0, wh[0], jnp.where(ax == 1, wh[1], wh[2]))
+
+    # Fat overlay: the n_fat largest-extent real bodies.
+    ext = jnp.where(real, wh_ax, -big)
+    _fe, fat_idx = lax.top_k(ext, n_fat)
+    is_fat = jnp.zeros((n,), bool).at[fat_idx].set(True) & real
+
+    # Sort: slim real by axis AABB min; fat then padding forced to the tail
+    # (index as the tie-break key keeps the order total and deterministic).
+    xmin = c_ax - wh_ax
+    iota = lax.iota(jnp.int32, n)
+    primary = jnp.where(~real, 2.0e30, jnp.where(is_fat, 1.0e30, xmin))
+    payload = [c[0], c[1], c[2], wh[0], wh[1], wh[2], radius,
+               dyn.astype(jnp.int32), c_ax + wh_ax]
+    if excl is not None:
+        payload += [excl[e] for e in range(n_e)]
+    sorted_ops = lax.sort((primary, iota) + tuple(payload), dimension=0,
+                          num_keys=2)
+    orig_s = sorted_ops[1]
+    cx_s, cy_s, cz_s, w0_s, w1_s, w2_s, rad_s, dyn_s, xmax_s = sorted_ops[2:11]
+    excl_s = sorted_ops[11:11 + n_e]
+    dyn_s = dyn_s > 0
+    xmin_s = lax.sort((primary,), dimension=0)[0]  # sorted sweep key
+    n_slim = n - jnp.sum((is_fat | ~real).astype(jnp.int32))
+
+    cs = (cx_s, cy_s, cz_s)
+    ws = (w0_s, w1_s, w2_s)
+
+    def cheb_gap(pc, pw):
+        return jnp.maximum(
+            jnp.maximum(
+                jnp.abs(cs[0] - pc[0]) - (ws[0] + pw[0]),
+                jnp.abs(cs[1] - pc[1]) - (ws[1] + pw[1]),
+            ),
+            jnp.abs(cs[2] - pc[2]) - (ws[2] + pw[2]),
+        ) - margin
+
+    score_cols, partner_cols = [], []
+    cand = jnp.int32(0)
+    slack = jnp.float32(1.0e9)
+    for k in range(1, w + 1):
+        roll_m = lambda a: jnp.roll(a, -k, axis=0)   # partner = pos + k
+        pc = tuple(roll_m(cs[i]) for i in range(3))
+        pw = tuple(roll_m(ws[i]) for i in range(3))
+        gap = cheb_gap(pc, pw)
+        rsum = rad_s + roll_m(rad_s) + margin
+        in_rng = (iota + k) < n_slim
+        base = in_rng & (gap <= 0.0) & (rsum > margin)
+        p_orig = roll_m(orig_s)
+        p_dyn = roll_m(dyn_s)
+
+        fwd = base & dyn_s
+        bwd = jnp.roll(base, k, axis=0) & dyn_s
+        key_q = quant(gap)
+        for e in range(n_e):
+            fwd &= excl_s[e] != p_orig
+            bwd &= excl_s[e] != jnp.roll(orig_s, k, axis=0)
+        fwd_key = key_q * n + p_orig
+        bwd_key = jnp.roll(key_q, k, axis=0) * n + jnp.roll(orig_s, k, axis=0)
+        score_cols.append(jnp.where(fwd, -fwd_key, INT32_MIN))
+        partner_cols.append(p_orig)
+        score_cols.append(jnp.where(bwd, -bwd_key, INT32_MIN))
+        partner_cols.append(jnp.roll(orig_s, k, axis=0))
+        cand += jnp.sum(fwd.astype(jnp.int32)) + jnp.sum(bwd.astype(jnp.int32))
+        smask = in_rng & (rsum > margin) & (gap > 0.0) & (dyn_s ^ p_dyn)
+        slack = jnp.minimum(slack, jnp.min(jnp.where(smask, gap, 1.0e9)))
+
+    for f in range(n_fat):
+        fo = fat_idx[f]
+        pc = tuple(c[i][fo] for i in range(3))
+        pw = tuple(wh[i][fo] for i in range(3))
+        gap = cheb_gap(pc, pw)
+        rsum = rad_s + radius[fo] + margin
+        base = (gap <= 0.0) & (rsum > margin) & (orig_s != fo)
+        fwd = base & dyn_s
+        for e in range(n_e):
+            fwd &= excl_s[e] != fo
+        key_q = quant(gap)
+        score_cols.append(jnp.where(fwd, -(key_q * n + fo), INT32_MIN))
+        partner_cols.append(jnp.broadcast_to(fo, (n,)))
+        cand += jnp.sum(fwd.astype(jnp.int32))
+        f_dyn = dyn[fo]
+        smask = (rsum > margin) & (gap > 0.0) & (orig_s != fo) & (dyn_s ^ f_dyn)
+        slack = jnp.minimum(slack, jnp.min(jnp.where(smask, gap, 1.0e9)))
+
+    score = jnp.stack(score_cols, axis=1)          # (n, 2W + n_fat)
+    partner = jnp.stack(partner_cols, axis=1)
+    vals, sel = lax.top_k(score, degree)
+    valid = vals > INT32_MIN
+    nb_s = jnp.where(valid, jnp.take_along_axis(partner, sel, axis=1), -1)
+    key_s = jnp.where(valid, -vals, 0)
+    last = vals[:, degree - 1]
+    thr_s = jnp.where(last > INT32_MIN, -last, INT32_MAX)
+
+    # ---- exactness guard ----
+    beyond = jnp.roll(xmin_s, -(w + 1), axis=0)
+    beyond_ok = (iota + w + 1 >= n_slim) | (beyond - xmax_s > margin)
+    guard_bad = jnp.any((iota < n_slim) & ~beyond_ok)
+    fat_dyn = jnp.any(is_fat & dyn)
+    need_fallback = guard_bad | fat_dyn
+
+    # Beyond-window slack clamp: only needed when a static body rides the
+    # sweep (its beyond-window dyn pairs are otherwise unseen).
+    slim_static = jnp.any(real & ~is_fat & ~dyn)
+    beyond_gap = jnp.min(jnp.where(
+        (iota < n_slim) & (iota + w + 1 < n_slim),
+        beyond - xmax_s - margin, 1.0e9,
+    ))
+    slack = jnp.where(slim_static, jnp.minimum(slack, beyond_gap), slack)
+
+    # ---- un-sort rows to body order ----
+    orig_b = jnp.broadcast_to(orig_s[:, None], (n, degree))
+    _o, nb_u, key_u = lax.sort((orig_b, nb_s, key_s), dimension=0, num_keys=1)
+    _o1, thr_u = lax.sort((orig_s, thr_s), dimension=0, num_keys=1)
+
+    swept = (
+        nb_u.T.reshape(degree, g, 128),
+        key_u.T.reshape(degree, g, 128),
+        thr_u.reshape(g, 128),
+        cand,
+        slack,
+    )
+
+    def fallback(_):
+        return candidate_lists(
+            pos_cg, quat_cg, half_cg, radius_g, dynamic_g, exclusions,
+            degree, margin,
+        )
+
+    return lax.cond(need_fallback, fallback, lambda _: swept, operand=None)
 
 
 def symmetric_filter(nb, key, thr, dynamic_g, gather, own_iota=None, n_total=None):

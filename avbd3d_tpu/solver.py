@@ -376,7 +376,7 @@ def step(world: World, params: SolverParams, cap: Capacity) -> World:
     dv = world.diagnostics.vec
     bp, refreshed = refresh_scalar(
         world.bp, dv, world.bodies, world.exclusions, cap.max_degree,
-        params.bp_margin,
+        params.bp_margin, window=cap.bp_window,
     )
     world = world.replace(bp=bp)
 
@@ -483,6 +483,7 @@ def _step_impl(world: World, params: SolverParams, cap: Capacity, gather,
         bp, refreshed = refresh_scalar(
             world.bp, world.diagnostics.vec, b, world.exclusions,
             cap.max_degree, params.bp_margin, comm=comm,
+            window=0 if comm.n_shards > 1 else cap.bp_window,
         )
         world = world.replace(bp=bp)
     else:

@@ -1034,7 +1034,7 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity,
     if refreshed is None:
         bp, refreshed = refresh_scalar(
             world.bp, world.diagnostics.vec, b, world.exclusions,
-            cap.max_degree, params.bp_margin,
+            cap.max_degree, params.bp_margin, window=cap.bp_window,
         )
         world = world.replace(bp=bp)
     else:
@@ -1177,13 +1177,23 @@ def step_pallas(world: World, params: SolverParams, cap: Capacity,
 # cross-body pose gathers read FULL (G, 128) tables passed unblocked.
 #
 # Kernel A grids trivially (narrowphase/match are body-local).  The solver
-# loop cannot stay in one program (every iteration needs every block's
-# updated poses), so each iteration is one gridded launch inside a
-# lax.scan, with the carry (poses, lam/pen/stick, geometry, cached
-# Hessian) in HBM.  Prediction and finalize reuse the portable XLA
-# implementations (solver.predict / solver.finalize) — they are cheap
-# elementwise stages.  Contact-only for now: scenes with joints/springs
-# above 2048 bodies take the XLA path.
+# loop runs ``Capacity.grid_residency`` iterations PER gridded launch
+# (block-Jacobi across blocks): within a launch each program keeps its own
+# block's poses fresh every iteration — it updates its rows of the pose
+# table in VMEM (dynamic_update_slice at the program offset) so intra-block
+# partners are exact — while OTHER blocks' partner poses stay at their
+# launch-start values (they are refreshed from the written-back table at
+# the next launch, so cross-block staleness is bounded by the residency).
+# Contact rows are Jacobi across bodies anyway, so the only semantic delta
+# vs the fused kernel is that bounded cross-block pose lag — validated by
+# the large-N envelope probe/test (round 5; the per-iteration-launch
+# predecessor carried a (36, D, G, 128) geometry plane + the Hessian
+# through HBM every iteration and ran 79 steps/s at 4096 where this form
+# needs ~1/residency the launches and no geometry traffic).
+# Prediction and finalize reuse the portable XLA implementations
+# (solver.predict / solver.finalize) — cheap elementwise stages.
+# Contact-only for now: scenes with joints/springs above 2048 bodies take
+# the XLA path.
 # ---------------------------------------------------------------------------
 
 _CACHE_BLOCK_FIELDS = (
@@ -1384,14 +1394,31 @@ def collide_and_init_grid(old: Contacts, nb_raw, keys, thr, b,
             jnp.sum(outs[14]).astype(jnp.int32))
 
 
-def _iter_grid_math(params, cache, consts, static, own_iota, pos, quat,
-                    geom36, mat24, lam, pen, stick_f, table_pose, body_const,
-                    ip, iq, alpha_cur, do_dual, rebuild, ramp_pen,
-                    first, gather):
-    """One solver iteration for one body block (contact-only grid path).
+def _iterblock_grid_math(params, spec, gb, pid, own_iota, cache, lam, pen,
+                         stick_f, body_const, ip, iq, pos, quat, table_pos,
+                         table_quat, invm_t, fric_t, gather):
+    """``len(spec)`` solver iterations for one body block, resident in one
+    launch.
 
-    Mirrors _kernel_b_math.one_iteration with the geometry/Hessian carried
-    as stacked arrays and the partner poses gathered from the full table.
+    ``spec``: static per-iteration flags (alpha, do_dual, rebuild, ramp) —
+    launch count and cadence are compile-time structure, so there is no
+    traced control flow in the kernel.  Mirrors _kernel_b_math's iteration
+    (same row math, solver.cpp:340-431) with partner poses gathered from
+    the launch-start full pose table through a two-level fix-up gather:
+    slots whose partner lies in THIS block take the block's current
+    (per-iteration fresh) values instead — Mosaic lowers the extra
+    (GB, 128) local gather for ~the cost of one more select chain, where a
+    traced-offset table update (dynamic_update_slice) has no TPU lowering.
+    Other blocks' poses hold their launch-start values (bounded
+    block-Jacobi lag, refreshed from the written-back carry at the next
+    launch).
+
+    ``pos``/``quat``: the block's own poses (3/4, GB, 128) — the same data
+    as the table rows at the program offset, delivered blocked because
+    in-kernel dynamic_slice is likewise unavailable.
+
+    Returns (pos (3,GB,128), quat (4,GB,128), lam, pen, stick_f, sep
+    (4,D,GB,128) — the last dual geometry's raw separations).
     """
     dt = params.dt
     inv_dt2 = 1.0 / (dt * dt)
@@ -1402,147 +1429,139 @@ def _iter_grid_math(params, cache, consts, static, own_iota, pos, quat,
     dyn = body_const["inv_mass"] > 0.0
     dynf = dyn.astype(jnp.float32)
 
-    def unflat_geom(t):
-        rw_a = [tuple(t[s * 6 + k] for k in range(3)) for s in range(4)]
-        rw_b = [tuple(t[s * 6 + 3 + k] for k in range(3)) for s in range(4)]
+    consts = rep.pair_constants(
+        cache.other,
+        {"friction": body_const["friction"], "inv_mass": body_const["inv_mass"]},
+        gather,
+        {"friction": fric_t, "inv_mass": invm_t},
+    )
+    static = rep.geometry_static(cache, consts, own_iota)
+
+    blk0 = pid * (gb * 128)
+
+    def gather_fix(tab, idx):
+        """Gather from a (full_table, fresh_block) pair: launch-start table
+        values, overlaid with the block's current values for intra-block
+        partners."""
+        if not isinstance(tab, tuple):
+            return gather(tab, idx)
+        full, fresh = tab
+        out = gather(full, idx)
+        loc = idx - blk0
+        in_blk = (loc >= 0) & (loc < gb * 128)
+        own = gather(fresh, jnp.where(in_blk, loc, 0))
+        return jnp.where(in_blk, own, out)
+
+    def paired_table(p, q):
         return {
-            "basis": static["basis"],
-            "rw_a": rw_a,
-            "rw_b": rw_b,
-            "sep": [t[24 + s] for s in range(4)],
-            "slip1": [t[28 + s] for s in range(4)],
-            "slip2": [t[32 + s] for s in range(4)],
-            "is_a": static["is_a"],
-            "slot_ok": static["slot_ok"],
+            "pos": tuple((table_pos[k], p[k]) for k in range(3)),
+            "quat": tuple((table_quat[k], q[k]) for k in range(4)),
         }
 
-    def flat_geom(gm):
-        out = []
-        for s in range(4):
-            out.extend(gm["rw_a"][s])
-            out.extend(gm["rw_b"][s])
-        out.extend(gm["sep"])
-        out.extend(gm["slip1"])
-        out.extend(gm["slip2"])
-        return jnp.stack(out)
-
-    def geom_at(p, q):
-        return rep.geometry_pose(
-            cache, static, {"pos": p, "quat": q}, consts, gather, table_pose
-        )
-
-    if first:
-        geom = geom_at(pos, quat)
-    else:
-        geom = unflat_geom(geom36)
     stick = stick_f > 0.5
+    geom = None
 
-    rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur, params)
-    f = rep.primal_force(rows, pen)
+    for j, (alpha, do_dual, rebuild, ramp) in enumerate(spec):
+        if j == 0:
+            geom = rep.geometry_pose(
+                cache, static, {"pos": pos, "quat": quat}, consts,
+                gather_fix, paired_table(pos, quat),
+            )
+        alpha_cur = jnp.float32(alpha)
+        rows = rep.eval_rows(geom, cache, consts, lam, pen, stick, alpha_cur,
+                             params)
+        f = rep.primal_force(rows, pen)
 
-    iw = _world_inertia_comps(quat, inertia)
-    if rebuild:
-        iiw = _world_inertia_comps(quat, inv_inertia)
-        m = rep.body_matrix(geom, f, pen, iiw)
-        mat24 = jnp.stack(m["m_ll"] + m["m_la"] + m["m_aa"] + m["gyro"])
-    m_ll = [mat24[k] for k in range(6)]
-    m_la = [mat24[6 + k] for k in range(9)]
-    m_aa = [mat24[15 + k] for k in range(6)]
-    gyro = [mat24[21 + k] for k in range(3)]
-    forces = rep.body_forces(geom, f)
+        iw = _world_inertia_comps(quat, inertia)
+        if rebuild or j == 0:  # no Hessian carry across launches
+            iiw = _world_inertia_comps(quat, inv_inertia)
+            m = rep.body_matrix(geom, f, pen, iiw)
+            m_ll, m_la = m["m_ll"], m["m_la"]
+            m_aa, gyro = m["m_aa"], m["gyro"]
+        forces = rep.body_forces(geom, f)
 
-    rhs_l = tuple(
-        mass * (pos[k] - ip[k]) * inv_dt2 + forces["F"][k] for k in range(3)
-    )
-    q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
-    sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
-    rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
-    rhs_a = (
-        (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
-        (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
-        (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
-    )
-    m_dt2 = mass * inv_dt2
-    a_ll = (
-        m_ll[0] + m_dt2, m_ll[1], m_ll[2],
-        m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
-    )
-    a_aa = (
-        m_aa[0] + iw[0] * inv_dt2 + gyro[0],
-        m_aa[1] + iw[1] * inv_dt2,
-        m_aa[2] + iw[2] * inv_dt2,
-        m_aa[3] + iw[3] * inv_dt2 + gyro[1],
-        m_aa[4] + iw[4] * inv_dt2,
-        m_aa[5] + iw[5] * inv_dt2 + gyro[2],
-    )
-    dl, da = solve66_cm(a_ll, tuple(m_la), a_aa, rhs_l, rhs_a)
+        rhs_l = tuple(
+            mass * (pos[k] - ip[k]) * inv_dt2 + forces["F"][k] for k in range(3)
+        )
+        q_err = cm.q_mul(quat, (-iq[0], -iq[1], -iq[2], iq[3]))
+        sgn = jnp.where(q_err[3] < 0.0, -2.0, 2.0)
+        rot = (q_err[0] * sgn, q_err[1] * sgn, q_err[2] * sgn)
+        rhs_a = (
+            (iw[0] * rot[0] + iw[1] * rot[1] + iw[2] * rot[2]) * inv_dt2 + forces["T"][0],
+            (iw[1] * rot[0] + iw[3] * rot[1] + iw[4] * rot[2]) * inv_dt2 + forces["T"][1],
+            (iw[2] * rot[0] + iw[4] * rot[1] + iw[5] * rot[2]) * inv_dt2 + forces["T"][2],
+        )
+        m_dt2 = mass * inv_dt2
+        a_ll = (
+            m_ll[0] + m_dt2, m_ll[1], m_ll[2],
+            m_ll[3] + m_dt2, m_ll[4], m_ll[5] + m_dt2,
+        )
+        a_aa = (
+            m_aa[0] + iw[0] * inv_dt2 + gyro[0],
+            m_aa[1] + iw[1] * inv_dt2,
+            m_aa[2] + iw[2] * inv_dt2,
+            m_aa[3] + iw[3] * inv_dt2 + gyro[1],
+            m_aa[4] + iw[4] * inv_dt2,
+            m_aa[5] + iw[5] * inv_dt2 + gyro[2],
+        )
+        dl, da = solve66_cm(a_ll, tuple(m_la), a_aa, rhs_l, rhs_a)
 
-    new_pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
-    dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
-                   jnp.zeros_like(da[0])), quat)
-    nq = _q_normalize(tuple(quat[k] - 0.5 * dq[k] for k in range(4)))
-    nq = tuple(jnp.where(dyn, nq[k], quat[k]) for k in range(4))
+        pos = tuple(pos[k] - relax * dl[k] * dynf for k in range(3))
+        dq = cm.q_mul((da[0] * relax, da[1] * relax, da[2] * relax,
+                       jnp.zeros_like(da[0])), quat)
+        nq = _q_normalize(tuple(quat[k] - 0.5 * dq[k] for k in range(4)))
+        quat = tuple(jnp.where(dyn, nq[k], quat[k]) for k in range(4))
 
-    # Dual at the post-primal poses.  NOTE: within this launch only this
-    # block's poses moved; geom2 sees other blocks at iteration-start poses
-    # (block-Jacobi across blocks — the contact rows are Jacobi anyway, and
-    # the carried geom2 is refreshed from the NEW full table at the next
-    # launch, so the next primal is exact).
-    geom2 = geom_at(new_pos, nq)
-    rows2 = rep.eval_rows(
-        geom2, cache, consts, jnp.stack(rows["lam"]), pen,
-        jnp.stack(rows["stick"]), alpha_cur, params,
-    )
-    lam2, pen2, stick2 = rep.dual_update(rows2, geom2, pen, params.beta, params)
-    dd = do_dual > 0.5
-    lam = jnp.where(dd, lam2, jnp.stack(rows2["lam"]))
-    if ramp_pen:
-        pen = jnp.where(dd, pen2, pen)
-    stick = cm.bwhere(dd, stick2, jnp.stack(rows2["stick"]))
-    return (jnp.stack(new_pos), jnp.stack(nq), lam, pen,
-            stick.astype(jnp.float32), flat_geom(geom2), mat24)
+        geom = rep.geometry_pose(
+            cache, static, {"pos": pos, "quat": quat}, consts, gather_fix,
+            paired_table(pos, quat),
+        )
+        rows2 = rep.eval_rows(
+            geom, cache, consts, jnp.stack(rows["lam"]), pen,
+            jnp.stack(rows["stick"]), alpha_cur, params,
+        )
+        lam2, pen2, stick2 = rep.dual_update(rows2, geom, pen, params.beta,
+                                             params)
+        if do_dual:
+            lam = lam2
+            if ramp:
+                pen = pen2
+            stick = stick2
+        else:  # final post-stabilize sweep: no dual ascent (solver.cpp:411)
+            lam = jnp.stack(rows2["lam"])
+            stick = jnp.stack(rows2["stick"])
+
+    return (jnp.stack(pos), jnp.stack(quat), lam, pen,
+            jnp.asarray(stick).astype(jnp.float32), jnp.stack(geom["sep"]))
 
 
-def _make_kernel_iter_grid(params: SolverParams, gb: int, rebuild: bool,
-                           ramp_pen: bool, first: bool):
+def _make_kernel_iterblock_grid(params: SolverParams, gb: int, spec):
     def kernel(*refs):
         pid = pl.program_id(0)
         own_iota = _block_iota(pid, gb)
         cache = _read_cache(refs[:12])
-        (pos_b, quat_b, lam_r, pen_r, stick_r, geom_r, mat_r,
-         mass_r, invm_r, fric_r, inertia_r, inv_inertia_r,
-         ip_r, iq_r) = refs[12:26]
-        scal_r, pos_t, quat_t, invm_t, fric_t = refs[26:31]
-        out_refs = refs[31:]
+        (pos_b, quat_b, lam_r, pen_r, stick_r, mass_r, invm_r, fric_r,
+         inertia_r, inv_inertia_r, ip_r, iq_r) = refs[12:24]
+        pos_t_r, quat_t_r, invm_t_r, fric_t_r = refs[24:28]
+        out_refs = refs[28:]
 
-        pos = tuple(pos_b[k] for k in range(3))
-        quat = tuple(quat_b[k] for k in range(4))
         body_const = {
             "mass": mass_r[:],
             "inv_mass": invm_r[:],
+            "friction": fric_r[:],
             "inertia": tuple(inertia_r[k] for k in range(3)),
             "inv_inertia": tuple(inv_inertia_r[k] for k in range(3)),
         }
-        consts = rep.pair_constants(
-            cache.other,
-            {"friction": fric_r[:], "inv_mass": invm_r[:]},
-            rep.select_gather,
-            {"friction": fric_t[:], "inv_mass": invm_t[:]},
-        )
-        static = rep.geometry_static(cache, consts, own_iota)
-        table_pose = {
-            "pos": tuple(pos_t[k] for k in range(3)),
-            "quat": tuple(quat_t[k] for k in range(4)),
-        }
-        ip = tuple(ip_r[k] for k in range(3))
-        iq = tuple(iq_r[k] for k in range(4))
-        alpha = scal_r[0]       # (128,) broadcast over trailing lanes
-        do_dual = scal_r[1]
-        outs = _iter_grid_math(
-            params, cache, consts, static, own_iota, pos, quat,
-            geom_r[:], mat_r[:], lam_r[:], pen_r[:], stick_r[:],
-            table_pose, body_const, ip, iq, alpha, do_dual,
-            rebuild, ramp_pen, first, rep.select_gather,
+        outs = _iterblock_grid_math(
+            params, spec, gb, pid, own_iota, cache,
+            lam_r[:], pen_r[:], stick_r[:], body_const,
+            tuple(ip_r[k] for k in range(3)),
+            tuple(iq_r[k] for k in range(4)),
+            tuple(pos_b[k] for k in range(3)),
+            tuple(quat_b[k] for k in range(4)),
+            tuple(pos_t_r[k] for k in range(3)),
+            tuple(quat_t_r[k] for k in range(4)),
+            invm_t_r[:], fric_t_r[:], rep.select_gather,
         )
         for ref, val in zip(out_refs, outs):
             ref[:] = val
@@ -1550,14 +1569,14 @@ def _make_kernel_iter_grid(params: SolverParams, gb: int, rebuild: bool,
     return kernel
 
 
-def _iter_grid_call_math(params, gb, rebuild, ramp_pen, first, contacts, b,
-                         pos, quat, lam, pen, stickf, geom36, mat24, ip, iq,
-                         scal):
-    """Off-TPU twin of the gridded iteration launch: the SAME per-block
-    math (_iter_grid_math) with the same block decomposition, as plain
-    jitted XLA with xla_gather — so the grid tier's semantics (including
-    the one-launch partner-pose lag of the carried dual geometry) are
-    CPU-testable without Mosaic or interpret mode."""
+def _iterblock_grid_call_math(params, gb, spec, contacts, b, pos, quat,
+                              lam, pen, stickf, ip, iq):
+    """Off-TPU twin of the multi-iteration gridded launch: the SAME
+    per-block math (_iterblock_grid_math) with the same block decomposition
+    — including the bounded cross-block pose lag (each block's table starts
+    at launch-start values and only its own rows refresh mid-launch) — as
+    plain jitted XLA with xla_gather, so the grid tier's semantics are
+    CPU-testable without Mosaic."""
     d, g, _ = contacts.other.shape
 
     def blk(x, pid):
@@ -1571,57 +1590,45 @@ def _iter_grid_call_math(params, gb, rebuild, ramp_pen, first, contacts, b,
         body_const = {
             "mass": blk(b.mass, pid),
             "inv_mass": blk(b.inv_mass, pid),
+            "friction": blk(b.friction, pid),
             "inertia": tuple(blk(b.inertia, pid)[k] for k in range(3)),
             "inv_inertia": tuple(blk(b.inv_inertia, pid)[k] for k in range(3)),
         }
-        consts = rep.pair_constants(
-            cache.other,
-            {"friction": blk(b.friction, pid), "inv_mass": body_const["inv_mass"]},
-            rep.xla_gather,
-            {"friction": b.friction, "inv_mass": b.inv_mass},
-        )
-        static = rep.geometry_static(cache, consts, own_iota)
-        table_pose = {
-            "pos": tuple(pos[k] for k in range(3)),
-            "quat": tuple(quat[k] for k in range(4)),
-        }
-        outs.append(_iter_grid_math(
-            params, cache, consts, static, own_iota,
-            tuple(blk(pos, pid)[k] for k in range(3)),
-            tuple(blk(quat, pid)[k] for k in range(4)),
-            blk(geom36, pid), blk(mat24, pid), blk(lam, pid), blk(pen, pid),
-            blk(stickf, pid), table_pose, body_const,
+        outs.append(_iterblock_grid_math(
+            params, spec, gb, pid, own_iota, cache,
+            blk(lam, pid), blk(pen, pid), blk(stickf, pid), body_const,
             tuple(blk(ip, pid)[k] for k in range(3)),
             tuple(blk(iq, pid)[k] for k in range(4)),
-            scal[0], scal[1], rebuild, ramp_pen, first, rep.xla_gather,
+            tuple(blk(pos, pid)[k] for k in range(3)),
+            tuple(blk(quat, pid)[k] for k in range(4)),
+            tuple(pos[k] for k in range(3)),
+            tuple(quat[k] for k in range(4)),
+            b.inv_mass, b.friction, rep.xla_gather,
         ))
-    # Concatenate the per-block outputs back along the G axis.
     return tuple(
         jnp.concatenate([o[i] for o in outs], axis=outs[0][i].ndim - 2)
         for i in range(len(outs[0]))
     )
 
 
-def _iter_grid_call(params, gb, rebuild, ramp_pen, first, contacts, b,
-                    pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal):
+def _iterblock_grid_call(params, gb, spec, contacts, b, pos, quat, lam, pen,
+                         stickf, ip, iq):
     if _interpret_mode():
-        return _iter_grid_call_math(
-            params, gb, rebuild, ramp_pen, first, contacts, b,
-            pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal,
+        return _iterblock_grid_call_math(
+            params, gb, spec, contacts, b, pos, quat, lam, pen, stickf, ip, iq
         )
     d, g, _ = contacts.other.shape
     cache_args = _cache_to_args(contacts)
     in_args = cache_args + [
-        pos, quat, lam, pen, stickf, geom36, mat24,
-        b.mass, b.inv_mass, b.friction, b.inertia, b.inv_inertia, ip, iq,
-        scal, pos, quat, b.inv_mass, b.friction,
+        pos, quat, lam, pen, stickf, b.mass, b.inv_mass, b.friction,
+        b.inertia, b.inv_inertia, ip, iq,
+        pos, quat, b.inv_mass, b.friction,
     ]
     in_specs = (
         [_blk_spec(a.shape, gb) for a in cache_args]
-        + [_blk_spec(a.shape, gb) for a in in_args[12:26]]
-        + [_full_spec(scal.shape), _full_spec(pos.shape),
-           _full_spec(quat.shape), _full_spec(b.inv_mass.shape),
-           _full_spec(b.friction.shape)]
+        + [_blk_spec(a.shape, gb) for a in in_args[12:24]]
+        + [_full_spec(pos.shape), _full_spec(quat.shape),
+           _full_spec(b.inv_mass.shape), _full_spec(b.friction.shape)]
     )
     shp = jax.ShapeDtypeStruct
     out_shape = [
@@ -1630,12 +1637,11 @@ def _iter_grid_call(params, gb, rebuild, ramp_pen, first, contacts, b,
         shp(lam.shape, jnp.float32),
         shp(pen.shape, jnp.float32),
         shp(stickf.shape, jnp.float32),
-        shp(geom36.shape, jnp.float32),
-        shp(mat24.shape, jnp.float32),
+        shp((4, d, g, 128), jnp.float32),    # final dual separations
     ]
     out_specs = [_blk_spec(s.shape, gb) for s in out_shape]
     return pl.pallas_call(
-        _make_kernel_iter_grid(params, gb, rebuild, ramp_pen, first),
+        _make_kernel_iterblock_grid(params, gb, spec),
         grid=(g // gb,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -1645,23 +1651,51 @@ def _iter_grid_call(params, gb, rebuild, ramp_pen, first, contacts, b,
     )(*in_args)
 
 
+def _grid_specs(params: SolverParams, n_iters: int, k_cad: int,
+                residency: int):
+    """Static launch plan: the step's iterations chunked into launches of
+    ``residency``, each iteration tagged (alpha, do_dual, rebuild, ramp).
+    Hessian cadence ``k_cad`` is launch-local (every launch rebuilds at its
+    first iteration — nothing is carried across launches); the penalty
+    ramps at cadence-block tails and on the final main iteration, the
+    augmented-Lagrangian cadence of the fused kernel."""
+    total = n_iters + (1 if params.post_stabilize else 0)
+    r = max(1, residency)
+    launches = []
+    for s in range(0, total, r):
+        spec = []
+        for j in range(min(r, total - s)):
+            it = s + j
+            if params.post_stabilize:
+                alpha = 1.0 if it < n_iters else 0.0
+            else:
+                alpha = float(params.alpha)
+            do_dual = it < n_iters
+            rebuild = (j % k_cad) == 0
+            last_in_launch = j + 1 >= min(r, total - s)
+            nxt_rebuild = last_in_launch or (((j + 1) % k_cad) == 0)
+            ramp = nxt_rebuild or (it == n_iters - 1)
+            spec.append((alpha, do_dual, rebuild, ramp))
+        launches.append(tuple(spec))
+    return tuple(launches)
+
+
 def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
-    """Large-N step: gridded kernel A + one gridded launch per solver
-    iteration, prediction/finalize reusing the portable XLA stages.
-    Contact-only (the dispatcher routes big jointed scenes to XLA)."""
+    """Large-N step: gridded kernel A + multi-iteration-resident gridded
+    solve launches (``Capacity.grid_residency`` iterations per launch),
+    prediction/finalize reusing the portable XLA stages.  Contact-only
+    (the dispatcher routes big jointed scenes to XLA)."""
     from .ops.broadphase import refresh_or_reuse
-    from .solver import (
-        _sanitize, finalize, predict, stale_lhs_ok,
-    )
+    from .solver import _sanitize, finalize, predict, stale_lhs_ok
 
     b = world.bodies
     g = b.g
     n = b.n
     gb = _pick_gb(g)
-    d = world.contacts.d  # cache width (cap.cache_degree or max_degree)
 
     bp = refresh_or_reuse(
         world.bp, b, world.exclusions, cap.max_degree, params.bp_margin,
+        window=cap.bp_window,
     )
     world = world.replace(bp=bp)
     contacts, keptmask, once, man_dropped = collide_and_init_grid(
@@ -1682,67 +1716,41 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     ps = to_cg(pos_start)
     qs = to_cg(quat_start)
 
-    total_iters = params.iterations + (1 if params.post_stabilize else 0)
+    d = world.contacts.other.shape[0]
 
-    def scal_for(it, n_iters=params.iterations):
-        # ``it`` is a Python int (the launch sequence is unrolled), so the
-        # alpha / do-dual selectors are compile-time scalars.
-        if params.post_stabilize:
-            alpha = 1.0 if it < n_iters else 0.0
-        else:
-            alpha = float(params.alpha)
-        dd = 1.0 if it < n_iters else 0.0
-        row = lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        return (jnp.where(row == 0, alpha, 0.0)
-                + jnp.where(row == 1, dd, 0.0)).astype(jnp.float32)
+    def run_iters(k_cad, n_iters=params.iterations):
+        c = (ps, qs, contacts.lam, contacts.penalty,
+             contacts.stick.astype(jnp.float32))
+        sep = jnp.zeros((4, d, g, 128), jnp.float32)
 
-    zgeom = jnp.zeros((36, d, g, 128), jnp.float32)
-    zmat = jnp.zeros((24, g, 128), jnp.float32)
-    carry0 = (ps, qs, contacts.lam, contacts.penalty,
-              contacts.stick.astype(jnp.float32), zgeom, zmat)
+        def do_launch(cc, spec):
+            pos, quat, lam, pen, stickf, sep2 = _iterblock_grid_call(
+                params, gb, spec, contacts, b, cc[0], cc[1], cc[2], cc[3],
+                cc[4], ip, iq,
+            )
+            return (pos, quat, lam, pen, stickf), sep2
 
-    def launch(c, rebuild, ramp, first, scal):
-        pos, quat, lam, pen, stickf, geom36, mat24 = c
-        return tuple(_iter_grid_call(
-            params, gb, rebuild, ramp, first, contacts, b,
-            pos, quat, lam, pen, stickf, geom36, mat24, ip, iq, scal,
-        ))
+        # Runs of identical launch specs (the common case: every launch of
+        # a non-post-stabilize step is the same) fold into ONE lax.scan, so
+        # the step graph holds a single launch site per distinct spec —
+        # Mosaic compiles each multi-iteration kernel once.
+        specs = _grid_specs(params, n_iters, k_cad, cap.grid_residency)
+        i = 0
+        while i < len(specs):
+            j = i
+            while j < len(specs) and specs[j] == specs[i]:
+                j += 1
+            count = j - i
+            if count > 1:
+                def body(carry, _, spec=specs[i]):
+                    cc, _sep = carry
+                    return do_launch(cc, spec), None
 
-    def run_iters(k_re, n_iters=params.iterations):
-        # Head block unrolled (its first launch computes the initial
-        # geometry); the remaining full blocks run under ONE lax.scan whose
-        # body is the k_re-launch block — so the number of launch sites in
-        # the step graph (and hence compile time) is ~2*k_re + tail instead
-        # of total_iters (round-2: 159 s compile for a 20-step scan at
-        # N=5120 from the fully-unrolled chain).
-        n_total = n_iters + (1 if params.post_stabilize else 0)
-        blocks, tail = divmod(n_total, k_re)
-        c = carry0
-        it = 0
-        if blocks > 0:
-            for j in range(k_re):
-                c = launch(c, j == 0, j == k_re - 1, it == 0,
-                           scal_for(it, n_iters))
-                it += 1
-            if blocks > 1:
-                scal_stack = jnp.stack([
-                    jnp.stack([scal_for(bi * k_re + j, n_iters)
-                               for j in range(k_re)])
-                    for bi in range(1, blocks)
-                ])  # (blocks-1, k_re, 8, 128)
-
-                def body(c, scal_k):
-                    for j in range(k_re):
-                        c = launch(c, j == 0, j == k_re - 1, False, scal_k[j])
-                    return c, None
-
-                c, _ = lax.scan(body, c, scal_stack)
-                it += (blocks - 1) * k_re
-        for j in range(tail):
-            c = launch(c, j == 0, j == tail - 1, it == 0,
-                       scal_for(it, n_iters))
-            it += 1
-        return c
+                (c, sep), _ = lax.scan(body, (c, sep), None, length=count)
+            else:
+                c, sep = do_launch(c, specs[i])
+            i = j
+        return c + (sep,)
 
     # Impact iteration boost (config.impact_iterations) — same semantics
     # as step_pallas/_step_impl, with the grid tier's unrefined gate.
@@ -1757,8 +1765,11 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
 
     k_re = max(1, params.lhs_rebuild_every)
     if k_re > 1:
+        k_fr = max(1, params.lhs_fresh_rebuild_every)
         stale_ok = stale_lhs_ok(b, bp, params, refine=False)
         if boost:
+            # calm: scene cadence/iterations; energetic: boosted iterations
+            # with cadence per the fresh gate (step_pallas semantics).
             nb_i = params.impact_iterations
             carry = lax.cond(
                 calm,
@@ -1766,18 +1777,20 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
                 lambda _: lax.cond(
                     stale_ok,
                     lambda __: run_iters(k_re, nb_i),
-                    lambda __: run_iters(1, nb_i),
+                    lambda __: run_iters(k_fr, nb_i),
                     operand=None,
                 ),
                 operand=None,
             )
-        else:
+        elif k_re != k_fr:
             carry = lax.cond(
                 stale_ok,
                 lambda _: run_iters(k_re),
-                lambda _: run_iters(1),
+                lambda _: run_iters(k_fr),
                 operand=None,
             )
+        else:
+            carry = run_iters(k_re)
     elif boost:
         carry = lax.cond(
             calm,
@@ -1787,7 +1800,7 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
         )
     else:
         carry = run_iters(1)
-    pos_cg, quat_cg, lam, pen, stickf, geom36, _mat = carry
+    pos_cg, quat_cg, lam, pen, stickf, sep_slots = carry
 
     def to_n(a):  # (C, G, 128) -> (N, C)
         return jnp.moveaxis(a.reshape(a.shape[0], n), 0, 1)
@@ -1796,7 +1809,6 @@ def step_grid(world: World, params: SolverParams, cap: Capacity) -> World:
     quat_f, sanitized = _sanitize(to_n(quat_cg), quat0, sanitized)
 
     contacts = contacts.replace(lam=lam, penalty=pen, stick=stickf > 0.5)
-    sep_slots = geom36[24:28]
 
     return finalize(
         world, b, contacts, world.joints, world.springs, pos_f, quat_f,

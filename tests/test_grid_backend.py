@@ -2,10 +2,10 @@
 
 ``solver_tpu.step_grid`` runs the same replicated physics with the kernels
 blocked over body groups; off-TPU the identical per-block math runs as
-plain XLA twins (``_collide_grid_math`` / ``_iter_grid_call_math``) with
-the SAME block decomposition — including the grid tier's one-launch
-partner-pose lag in the carried dual geometry — so a grid regression
-breaks these tests without TPU hardware.
+plain XLA twins (``_collide_grid_math`` / ``_iterblock_grid_call_math``)
+with the SAME block decomposition — including the grid tier's bounded
+cross-block pose lag (``Capacity.grid_residency`` iterations per launch) —
+so a grid regression breaks these tests without TPU hardware.
 
 Also covers the row-blocked broadphase (ops/broadphase.candidate_lists
 switches to (block, N) chunks above 2048 bodies — the O(N^2)-memory fix)
