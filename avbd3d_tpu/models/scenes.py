@@ -512,24 +512,36 @@ def scene_stress1000():
     return sb.build(params, max_degree=24, cache_degree=12)
 
 
-def _scene_stress_n(nx, ny, nz, max_degree=24, cache_degree=12):
+def _scene_stress_n(nx, ny, nz, max_degree=24, cache_degree=12,
+                    order="yzx"):
     """Capacity-scaling stress scenes beyond the reference's 10x10x10 (same
-    hash-jitter construction, scenes.h:87-132 semantics at larger counts)."""
+    hash-jitter construction, scenes.h:87-132 semantics at larger counts).
+
+    ``order``: body-index assignment order.  "yzx" = the reference's loop
+    nest (y outer).  "xzy" assigns indices x-major, so the grid backend's
+    body blocks become contiguous x-slabs of the spawn grid: bodies keep
+    their xz-neighborhood through landing, which turns most contact pairs
+    into INTRA-block pairs — the gridded tier's cross-block pose lag then
+    applies only to slab-boundary contacts.  The jitter seed stays a pure
+    function of the grid cell (identical body placements; only the index
+    labeling changes)."""
     sb = SceneBuilder()
     _ground(sb)
     spacing_xz, spacing_y = 1.15, 2.0
     start_y, jitter_xz, jitter_y = 20.0, 0.04, 0.25
-    for y in range(ny):
-        for z in range(nz):
-            for x in range(nx):
-                seed = (x + nx * (z + nz * y) + 1) & 0xFFFFFFFF
-                jx = (_hash01((seed * 9781) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
-                jz = (_hash01((seed * 6271) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
-                jy = _hash01((seed * 3343) & 0xFFFFFFFF) * jitter_y
-                px = (x - (nx - 1) * 0.5) * spacing_xz + jx
-                py = start_y + y * spacing_y + jy
-                pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
-                sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
+    cells = [(x, y, z) for y in range(ny) for z in range(nz)
+             for x in range(nx)]
+    if order == "xzy":
+        cells.sort(key=lambda c: (c[0], c[2], c[1]))
+    for x, y, z in cells:
+        seed = (x + nx * (z + nz * y) + 1) & 0xFFFFFFFF
+        jx = (_hash01((seed * 9781) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+        jz = (_hash01((seed * 6271) & 0xFFFFFFFF) * 2.0 - 1.0) * jitter_xz
+        jy = _hash01((seed * 3343) & 0xFFFFFFFF) * jitter_y
+        px = (x - (nx - 1) * 0.5) * spacing_xz + jx
+        py = start_y + y * spacing_y + jy
+        pz = (z - (nz - 1) * 0.5) * spacing_xz + jz
+        sb.add_body((1, 1, 1), 1.0, 0.5, (px, py, pz))
     # Same impact-cadence tuning as Stress1000 (see scene_stress1000).
     params = SolverParams(iterations=20, beta=30000.0, gamma=0.995,
                           lhs_fresh_rebuild_every=4)
@@ -544,12 +556,27 @@ def scene_stress2048():
 
 
 def scene_stress4096():
-    """16x16x16 = 4096 cubes.  Above the fused Pallas kernel's
-    Mosaic-compile ceiling in this environment (the TPU compile helper is
-    OOM-killed at G=33 groups even for a single kernel), so on TPU this
-    runs the gridded Pallas tier (solver_tpu.step_grid: kernels blocked
-    over body groups, one launch per solver iteration)."""
-    return _scene_stress_n(16, 16, 16)
+    """16x16x16 = 4096 cubes.  Above the fused Pallas kernel's VMEM
+    ceiling (the monolithic step kernel at G=40/D=28 schedules 250 MB of
+    VMEM vs the 128 MB chip — tools/try_fused_large.py), so on TPU this
+    runs the gridded Pallas tier (solver_tpu.step_grid).
+
+    Round-5 validated tuning (tools/stress_envelope_probe.py, 1000-step
+    runs on TPU v5e):
+
+    - max_degree=28 / cache_degree=16: the realized broadphase degree
+      peaks at 24 and the near degree at 12 over the full fall+settle run;
+      the round-4 inherited plan (24/12) overflowed the near cache 355
+      times and left standing penetration.  With 28/16: overflow 0.
+    - order="xzy": body indices x-major, so the grid tier's body blocks
+      are contiguous x-slabs — contact pairs stay mostly intra-block and
+      the tier's bounded cross-block pose lag applies only at slab
+      boundaries.  Settled envelope with the reference loop order: maxPen
+      0.010-0.013 standing (2x slop); with x-major: 0.00000 per-step once
+      the pile locks (steps 900+), matching the C++ oracle's settled
+      envelope at this N (ref_stressn: maxPen 0.0000 from step 250)."""
+    return _scene_stress_n(16, 16, 16, max_degree=28, cache_degree=16,
+                           order="xzy")
 
 
 def scene_rod():

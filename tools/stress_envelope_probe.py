@@ -79,6 +79,7 @@ def main() -> None:
             *dims,
             max_degree=int(overrides.pop("max_degree", 24)),
             cache_degree=int(overrides.pop("cache_degree", 12)),
+            order=overrides.pop("order", "yzx"),
         )
         from avbd3d_tpu.models.scenes import Scene
 
@@ -86,11 +87,14 @@ def main() -> None:
     else:
         sc = load_scene(name)
     w, params, cap = sc.world, sc.params, sc.cap
+    def conv(cur, v):
+        return v if isinstance(cur, str) else type(cur)(eval(v))
+
     for k, v in overrides.items():
         if hasattr(cap, k):
-            cap = cap.replace(**{k: type(getattr(cap, k))(eval(v))})
+            cap = cap.replace(**{k: conv(getattr(cap, k), v)})
         else:
-            params = params.replace(**{k: type(getattr(params, k))(eval(v))})
+            params = params.replace(**{k: conv(getattr(params, k), v)})
     print(f"# {name}: n={w.bodies.n} D={cap.max_degree} "
           f"Dc={w.contacts.other.shape[0]} k_re={params.lhs_rebuild_every} "
           f"k_fr={params.lhs_fresh_rebuild_every} backend={cap.backend}",
