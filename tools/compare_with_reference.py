@@ -181,18 +181,28 @@ def main():
 DEVIATIONS = """
 ## Documented deviations (deliberate, measured)
 
-- **Hard joints are penalty-only by default** (`config.joint_dual_rate=0`),
-  diverging from the reference's per-iteration dual ascent on hard rows
-  (solver.cpp:411-429).  Measured rationale (PERF_NOTES.md): on a hard-weld
-  chain the Jacobi primal never converges C within a step, so dual ascent
+- **Hard-joint duals use a once-per-step EMA tracker, not per-iteration
+  ascent** (`config.joint_ema_rate=0.05` ON by default;
+  `joint_dual_rate=0`), diverging from the reference's per-iteration dual
+  ascent on hard rows (solver.cpp:411-429).  Measured rationale
+  (PERF_NOTES.md, tools/joint_dual_study.py): on a hard-weld chain the
+  Jacobi primal never converges C within a step, so per-iteration ascent
   integrates unconverged residual and pumps energy at ANY rate tested
   (0.05-1.5x) — and the REFERENCE ITSELF diverges to NaN on its own rod
   scene (reproduced via the `ref_rod` oracle; its joints ship commented
-  out as "WIP").  Penalty-only holds anchor drift to ~8e-4 under dynamic
-  load.  Consequence for downstream users: joint `lambda` does not
-  converge to the constraint force; constraint accuracy comes from the
-  penalty equilibrium instead.  Isolated (non-chained) joints are stable
-  under ascent, so the knob remains available.
+  out as "WIP").  The EMA tracker updates lambda once per step at the
+  final poses (`lambda += eta*penalty*C`); at quasi-static balance its
+  fixed point is EXACTLY the constraint force, and per-step growth is
+  bounded by eta times the physical row force, so divergence is
+  structurally impossible.  Validated: on RodJointed at iterations=20 the
+  per-link lambda matches the analytic chain tension within 0.6%
+  (regression-gated in tests/test_joint_dual_tension.py); anchor drift
+  ~8e-4 under dynamic load (vs inf for the reference).  Per-iteration
+  ascent stays available as the `joint_dual_rate` knob for isolated
+  (non-chained) joints, where it is stable and converges lambda to the
+  exact constraint force — chains must keep it 0 (a convergence gate was
+  tried and measured divergent: a chain's Jacobi contraction is
+  ~(1-1/L^2)/iteration, so unconverged residual looks stationary).
 - **Spring geometric-stiffness Hessian `H_ll` is not computed.**  The
   reference computes it every call and never consumes it (spring.cpp:46-55,
   87-89); see ops/springs.py:11-14.
