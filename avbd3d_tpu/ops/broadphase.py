@@ -390,33 +390,47 @@ def candidate_lists(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
 def candidate_lists_swept(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
                           exclusions, degree: int, margin: float,
                           window: int, n_fat: int = 8, comm=None):
-    """Sub-quadratic candidate selection: sorted-axis sweep with a bounded
-    window, exactness-guarded (SURVEY §2#4; replaces the reference's O(n²)
-    loop, solver.cpp:261-270, with the scaling the north star mandates).
+    """Sub-quadratic candidate selection: sorted-axis sweep over chunked
+    column windows, exactness-guarded (SURVEY §2#4; replaces the
+    reference's O(n²) loop, solver.cpp:261-270, with the scaling the north
+    star mandates).
 
-    Strategy — same outputs as ``candidate_lists`` (the slots, keys, and
-    threshold feeding ``symmetric_filter`` are untouched downstream):
+    Same outputs as ``candidate_lists`` (the slots, keys, and threshold
+    feeding ``symmetric_filter`` are untouched downstream):
 
     1. Bodies are sorted by their world-AABB minimum along the axis with
-       the largest center spread.  Any overlapping pair is then within
-       ``window`` sorted positions of each other — **provided no body's
-       axis extent spans more than the window's reach**.  Pair gaps are
-       evaluated only for the (N, window) banded pairs via rolled arrays
-       (no gathers), cutting both the mask work and the top_k width from
-       N to ~2*window+n_fat columns.
-    2. The ``n_fat`` largest-extent bodies (the ground slab: its AABB spans
-       every body on two axes, which would force window = N) are pulled out
-       of the sweep and tested against every body as dense overlay columns.
+       the largest center spread; rows are processed in chunks of 128
+       sorted rows, each against ONE contiguous STATIC column window of
+       ``window`` sorted columns centered on the chunk.  A pair
+       overlapping on the sweep axis satisfies ``xmin_chunk - 2*e_slim -
+       margin <= xmin_j <= xmax_chunk + margin``; two value compares at
+       the window's static edge indices prove the window contains that
+       whole range (else the guard fires).  Both the (128, window) mask
+       work and — decisive on this chip — the ``top_k`` column width drop
+       from N to ``window``.  Measured N=1024 pathologies that shaped
+       this form: top_k is ~200 us of the 254 us matrix refresh and
+       scales with column width (512-wide: 80 us) BUT wants 128-aligned
+       widths (pick window + n_fat divisible by 128); a 2W-roll band
+       construction was 4.6x SLOWER than the matrix; per-chunk scalar
+       ``searchsorted`` placement costs 384 us and traced-offset
+       dynamic_slice 4x a static slice — hence static centered windows
+       and value-compare guards; ``take_along_axis`` partner extraction
+       costs 269 us — hence partners decode from the selected keys as
+       ``key % n``.
+    2. The ``n_fat`` largest-sweep-extent real bodies (the ground slab:
+       its AABB spans the scene, which would force window = N) are pulled
+       out of the sweep and tested against every chunk as dense overlay
+       columns.
     3. An exactness guard falls back to the full O(N²) row-blocked path
        (one lax.cond) whenever the window could provably miss a pair:
-       some slim body's first beyond-window neighbor is within margin of
-       its AABB max, or a fat body is dynamic (fat rows only get fat
-       partners from the overlay).  The swept result is therefore always
-       IDENTICAL to the matrix path (modulo ±1 gap-quantization ulps from
-       differing XLA codegen — the same tolerance as the row-blocked
-       equivalence, tests/test_grid_backend.py), never an approximation.
+       some chunk's required column range exceeds ``window``, or a fat
+       body is dynamic (fat rows only get fat partners from the overlay).
+       The swept result is therefore always IDENTICAL to the matrix path
+       (modulo ±1 gap-quantization ulps from differing XLA codegen — the
+       same tolerance as the row-blocked equivalence,
+       tests/test_grid_backend.py), never an approximation.
 
-    ``slack`` is conservative: beyond-window pairs contribute their sorted
+    ``slack`` is conservative: out-of-window pairs contribute their sorted
     axis-gap lower bound whenever any sweep-resident static body exists
     (extra refreshes at worst, never a missed one).  Single-shard only —
     sharded worlds keep the row-blocked matrix path.
@@ -426,8 +440,8 @@ def candidate_lists_swept(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
     assert comm.n_shards == 1, "swept broadphase is single-shard"
     g = radius_g.shape[0]
     n = g * 128
-    w = int(window)
-    assert 0 < w and w + 1 < n
+    cw = int(window)
+    assert 0 < cw <= n and cw + n_fat >= degree
     wh_cg = world_halves(tuple(quat_cg[k] for k in range(4)), half_cg)
     c = [pos_cg[k].reshape(n) for k in range(3)]
     wh = [wh_cg[k].reshape(n) for k in range(3)]
@@ -450,7 +464,7 @@ def candidate_lists_swept(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
         ).astype(jnp.int32)
 
     # Sweep axis: the largest real-body center spread.
-    big = jnp.float32(3.0e38)
+    big = jnp.float32(1.0e30)
     spread = jnp.stack([
         jnp.max(jnp.where(real, c[k], -big)) - jnp.min(jnp.where(real, c[k], big))
         for k in range(3)
@@ -459,113 +473,188 @@ def candidate_lists_swept(pos_cg, quat_cg, half_cg, radius_g, dynamic_g,
     c_ax = jnp.where(ax == 0, c[0], jnp.where(ax == 1, c[1], c[2]))
     wh_ax = jnp.where(ax == 0, wh[0], jnp.where(ax == 1, wh[1], wh[2]))
 
-    # Fat overlay: the n_fat largest-extent real bodies.
+    # Fat overlay: up to n_fat GENUINELY fat real bodies.  Membership is
+    # thresholded, not just top-k: in a uniform scene the top-8-by-extent
+    # set is the ground slab plus 7 perfectly ordinary (dynamic!) cubes,
+    # and those false fats made ``fat_dyn`` fire the fallback on EVERY
+    # call — the round-5 roll-based sweep shipped with exactly that bug
+    # and measured 4.6x slower than the matrix because it always paid
+    # sweep + matrix.  A top-k body stays fat only when its sweep extent
+    # exceeds 4x the largest remaining (slim) extent; demotion is safe —
+    # the window-coverage guard still proves exactness either way.
     ext = jnp.where(real, wh_ax, -big)
-    _fe, fat_idx = lax.top_k(ext, n_fat)
-    is_fat = jnp.zeros((n,), bool).at[fat_idx].set(True) & real
+    fe, fat_idx_w = lax.top_k(ext, n_fat + 1)
+    e_rest = fe[n_fat]
+    fat_idx = fat_idx_w[:n_fat]
+    fat_keep = fe[:n_fat] > 4.0 * jnp.maximum(e_rest, 1e-6)
+    is_fat = jnp.zeros((n,), bool).at[fat_idx].set(fat_keep) & real
+    slim = real & ~is_fat
+    e_slim = jnp.max(jnp.where(slim, wh_ax, 0.0))
 
     # Sort: slim real by axis AABB min; fat then padding forced to the tail
     # (index as the tie-break key keeps the order total and deterministic).
     xmin = c_ax - wh_ax
     iota = lax.iota(jnp.int32, n)
-    primary = jnp.where(~real, 2.0e30, jnp.where(is_fat, 1.0e30, xmin))
+    primary = jnp.where(~real, 2.0 * big, jnp.where(is_fat, big, xmin))
     payload = [c[0], c[1], c[2], wh[0], wh[1], wh[2], radius,
-               dyn.astype(jnp.int32), c_ax + wh_ax]
+               dyn.astype(jnp.int32), wh_ax]
     if excl is not None:
         payload += [excl[e] for e in range(n_e)]
     sorted_ops = lax.sort((primary, iota) + tuple(payload), dimension=0,
                           num_keys=2)
+    xmin_s = sorted_ops[0]  # the sort key: xmin for slim, big/2*big for tail
     orig_s = sorted_ops[1]
-    cx_s, cy_s, cz_s, w0_s, w1_s, w2_s, rad_s, dyn_s, xmax_s = sorted_ops[2:11]
+    cx_s, cy_s, cz_s, w0_s, w1_s, w2_s, rad_s, dynf_s, whax_s = sorted_ops[2:11]
     excl_s = sorted_ops[11:11 + n_e]
-    dyn_s = dyn_s > 0
-    xmin_s = lax.sort((primary,), dimension=0)[0]  # sorted sweep key
+    dyn_s = dynf_s > 0
     n_slim = n - jnp.sum((is_fat | ~real).astype(jnp.int32))
 
-    cs = (cx_s, cy_s, cz_s)
-    ws = (w0_s, w1_s, w2_s)
+    # Fat bodies' payload (n_fat tiny gathers).
+    fat_c = [c[k][fat_idx] for k in range(3)]
+    fat_wh = [wh[k][fat_idx] for k in range(3)]
+    fat_rad = radius[fat_idx]
+    fat_dyn_v = dyn[fat_idx]
+    # Demoted top-k members ride the sweep as slim bodies — masking them
+    # out of the overlay prevents double-counted pairs.
+    fat_real = real[fat_idx] & fat_keep
 
-    def cheb_gap(pc, pw):
+    def cheb_gap(rc, rw, pc, pw):
+        """(rows, cols) Chebyshev AABB gap - margin; rc/rw (3, R), pc/pw
+        (3, C).  Identical expression to candidate_lists.row_block."""
         return jnp.maximum(
             jnp.maximum(
-                jnp.abs(cs[0] - pc[0]) - (ws[0] + pw[0]),
-                jnp.abs(cs[1] - pc[1]) - (ws[1] + pw[1]),
+                jnp.abs(rc[0][:, None] - pc[0][None, :]) - (rw[0][:, None] + pw[0][None, :]),
+                jnp.abs(rc[1][:, None] - pc[1][None, :]) - (rw[1][:, None] + pw[1][None, :]),
             ),
-            jnp.abs(cs[2] - pc[2]) - (ws[2] + pw[2]),
+            jnp.abs(rc[2][:, None] - pc[2][None, :]) - (rw[2][:, None] + pw[2][None, :]),
         ) - margin
 
-    score_cols, partner_cols = [], []
+    score_rows = []
     cand = jnp.int32(0)
     slack = jnp.float32(1.0e9)
-    for k in range(1, w + 1):
-        roll_m = lambda a: jnp.roll(a, -k, axis=0)   # partner = pos + k
-        pc = tuple(roll_m(cs[i]) for i in range(3))
-        pw = tuple(roll_m(ws[i]) for i in range(3))
-        gap = cheb_gap(pc, pw)
-        rsum = rad_s + roll_m(rad_s) + margin
-        in_rng = (iota + k) < n_slim
-        base = in_rng & (gap <= 0.0) & (rsum > margin)
-        p_orig = roll_m(orig_s)
-        p_dyn = roll_m(dyn_s)
+    slack_bound = jnp.float32(1.0e9)
+    guard_bad = jnp.bool_(False)
 
-        fwd = base & dyn_s
-        bwd = jnp.roll(base, k, axis=0) & dyn_s
-        key_q = quant(gap)
+    def srow(a, r0):
+        return lax.slice_in_dim(a, r0, r0 + 128)
+
+    for t in range(n // 128):
+        r0 = t * 128
+        row_c = tuple(srow(cs, r0) for cs in (cx_s, cy_s, cz_s))
+        row_w = tuple(srow(ws, r0) for ws in (w0_s, w1_s, w2_s))
+        row_rad = srow(rad_s, r0)
+        row_dyn = srow(dyn_s, r0)
+        row_orig = srow(orig_s, r0)
+        row_xmin = srow(xmin_s, r0)
+        row_whax = srow(whax_s, r0)
+        row_excl = [srow(excl_s[e], r0) for e in range(n_e)]
+        row_pos = r0 + lax.iota(jnp.int32, 128)
+        # Window bounds come from the chunk's DYNAMIC slim rows (static
+        # rows own no slots, fat/padding rows produce nothing here).
+        need = (row_pos < n_slim) & row_dyn
+        has_rows = jnp.any(need)
+        chunk_min = jnp.min(jnp.where(need, row_xmin, big))
+        chunk_xmax = jnp.max(jnp.where(need, row_xmin + 2.0 * row_whax, -big))
+
+        # STATIC centered window: [start, start+cw) with start a Python
+        # int, so every column read below is a static slice and the edge
+        # probes are static scalar reads.
+        start = min(max(r0 + 64 - cw // 2, 0), n - cw)
+        # Coverage guard: every overlap-capable column's xmin lies in
+        # [chunk_min - 2*e_slim - margin, chunk_xmax + margin]; the window
+        # covers that range iff its left edge value is strictly below the
+        # low bound (or the window starts at 0) and its right edge value
+        # strictly above the high bound (or the window ends at n).
+        left_ok = (start == 0) or (
+            xmin_s[start] < chunk_min - 2.0 * e_slim - margin
+        )
+        right_ok = (start + cw >= n) or (xmin_s[start + cw] > chunk_xmax + margin)
+        if not (left_ok is True and right_ok is True):
+            ok = jnp.logical_and(left_ok, right_ok)
+            guard_bad |= has_rows & jnp.logical_not(ok)
+
+        def scol(a, start=start):
+            return lax.slice_in_dim(a, start, start + cw)
+
+        col_c = (scol(cx_s), scol(cy_s), scol(cz_s))
+        col_w = (scol(w0_s), scol(w1_s), scol(w2_s))
+        col_rad = scol(rad_s)
+        col_dyn = scol(dynf_s) > 0
+        col_orig = scol(orig_s)
+        col_slim = (start + lax.iota(jnp.int32, cw)) < n_slim
+
+        gap = cheb_gap(row_c, row_w, col_c, col_w)           # (128, cw)
+        rsum = row_rad[:, None] + col_rad[None, :] + margin
+        mask = (
+            (gap <= 0.0) & (rsum > margin) & row_dyn[:, None]
+            & (row_orig[:, None] != col_orig[None, :]) & col_slim[None, :]
+        )
         for e in range(n_e):
-            fwd &= excl_s[e] != p_orig
-            bwd &= excl_s[e] != jnp.roll(orig_s, k, axis=0)
-        fwd_key = key_q * n + p_orig
-        bwd_key = jnp.roll(key_q, k, axis=0) * n + jnp.roll(orig_s, k, axis=0)
-        score_cols.append(jnp.where(fwd, -fwd_key, INT32_MIN))
-        partner_cols.append(p_orig)
-        score_cols.append(jnp.where(bwd, -bwd_key, INT32_MIN))
-        partner_cols.append(jnp.roll(orig_s, k, axis=0))
-        cand += jnp.sum(fwd.astype(jnp.int32)) + jnp.sum(bwd.astype(jnp.int32))
-        smask = in_rng & (rsum > margin) & (gap > 0.0) & (dyn_s ^ p_dyn)
-        slack = jnp.minimum(slack, jnp.min(jnp.where(smask, gap, 1.0e9)))
+            mask &= col_orig[None, :] != row_excl[e][:, None]
+        key = quant(gap) * n + col_orig[None, :]
+        score = jnp.where(mask, -key, INT32_MIN)
 
-    for f in range(n_fat):
-        fo = fat_idx[f]
-        pc = tuple(c[i][fo] for i in range(3))
-        pw = tuple(wh[i][fo] for i in range(3))
-        gap = cheb_gap(pc, pw)
-        rsum = rad_s + radius[fo] + margin
-        base = (gap <= 0.0) & (rsum > margin) & (orig_s != fo)
-        fwd = base & dyn_s
+        # Fat overlay columns (128, n_fat).
+        gap_f = cheb_gap(row_c, row_w, tuple(fat_c), tuple(fat_wh))
+        rsum_f = row_rad[:, None] + fat_rad[None, :] + margin
+        mask_f = (
+            (gap_f <= 0.0) & (rsum_f > margin) & row_dyn[:, None]
+            & (row_orig[:, None] != fat_idx[None, :]) & fat_real[None, :]
+        )
         for e in range(n_e):
-            fwd &= excl_s[e] != fo
-        key_q = quant(gap)
-        score_cols.append(jnp.where(fwd, -(key_q * n + fo), INT32_MIN))
-        partner_cols.append(jnp.broadcast_to(fo, (n,)))
-        cand += jnp.sum(fwd.astype(jnp.int32))
-        f_dyn = dyn[fo]
-        smask = (rsum > margin) & (gap > 0.0) & (orig_s != fo) & (dyn_s ^ f_dyn)
-        slack = jnp.minimum(slack, jnp.min(jnp.where(smask, gap, 1.0e9)))
+            mask_f &= fat_idx[None, :] != row_excl[e][:, None]
+        key_f = quant(gap_f) * n + fat_idx[None, :]
+        score_f = jnp.where(mask_f, -key_f, INT32_MIN)
 
-    score = jnp.stack(score_cols, axis=1)          # (n, 2W + n_fat)
-    partner = jnp.stack(partner_cols, axis=1)
-    vals, sel = lax.top_k(score, degree)
-    valid = vals > INT32_MIN
-    nb_s = jnp.where(valid, jnp.take_along_axis(partner, sel, axis=1), -1)
-    key_s = jnp.where(valid, -vals, 0)
-    last = vals[:, degree - 1]
-    thr_s = jnp.where(last > INT32_MIN, -last, INT32_MAX)
+        # Scores are stacked across chunks and ranked by ONE top_k call
+        # below: at this shape top_k has a ~15 us per-call fixed cost, so
+        # 8 per-chunk calls cost ~2.5x one (n, cw + n_fat) call (measured).
+        score_rows.append(jnp.concatenate([score, score_f], axis=1))
+        cand += (jnp.sum(mask.astype(jnp.int32))
+                 + jnp.sum(mask_f.astype(jnp.int32)))
 
-    # ---- exactness guard ----
-    beyond = jnp.roll(xmin_s, -(w + 1), axis=0)
-    beyond_ok = (iota + w + 1 >= n_slim) | (beyond - xmax_s > margin)
-    guard_bad = jnp.any((iota < n_slim) & ~beyond_ok)
+        # Mover-static slack: in-window and fat static columns exactly ...
+        sm = (
+            row_dyn[:, None] & ~col_dyn[None, :] & col_slim[None, :]
+            & (rsum > margin) & (gap > 0.0)
+            & (row_orig[:, None] != col_orig[None, :])
+        )
+        slack = jnp.minimum(slack, jnp.min(jnp.where(sm, gap, 1.0e9)))
+        sm_f = (
+            row_dyn[:, None] & ~fat_dyn_v[None, :] & fat_real[None, :]
+            & (rsum_f > margin) & (gap_f > 0.0)
+            & (row_orig[:, None] != fat_idx[None, :])
+        )
+        slack = jnp.minimum(slack, jnp.min(jnp.where(sm_f, gap_f, 1.0e9)))
+        # ... plus axis-gap lower bounds for slim columns outside the
+        # window (before: xmax_j <= xmin_s[start-1] + 2*e_slim; beyond:
+        # xmin_j >= xmin_s[start+cw]) — static edge reads again.
+        before = (
+            chunk_min - (xmin_s[start - 1] + 2.0 * e_slim) - margin
+            if start > 0 else jnp.float32(1.0e9)
+        )
+        beyond = (
+            xmin_s[start + cw] - chunk_xmax - margin
+            if start + cw < n else jnp.float32(1.0e9)
+        )
+        slack_bound = jnp.minimum(slack_bound, jnp.minimum(before, beyond))
+
+    slim_static = jnp.any(slim & ~dyn)
+    slack = jnp.where(slim_static, jnp.minimum(slack, slack_bound), slack)
     fat_dyn = jnp.any(is_fat & dyn)
     need_fallback = guard_bad | fat_dyn
 
-    # Beyond-window slack clamp: only needed when a static body rides the
-    # sweep (its beyond-window dyn pairs are otherwise unseen).
-    slim_static = jnp.any(real & ~is_fat & ~dyn)
-    beyond_gap = jnp.min(jnp.where(
-        (iota < n_slim) & (iota + w + 1 < n_slim),
-        beyond - xmax_s - margin, 1.0e9,
-    ))
-    slack = jnp.where(slim_static, jnp.minimum(slack, beyond_gap), slack)
+    # ---- one ranked selection over all chunks ----
+    score_all = jnp.concatenate(score_rows, axis=0)  # (n, cw + n_fat)
+    vals, _sel = lax.top_k(score_all, degree)
+    valid = vals > INT32_MIN
+    key_s = jnp.where(valid, -vals, 0)
+    # Keys are q * n + partner with partner in [0, n): the partner id
+    # decodes from the key itself — a take_along_axis gather here costs
+    # 269 us at this shape (measured), the modulo is free.
+    nb_s = jnp.where(valid, key_s % n, -1)
+    last = vals[:, degree - 1]
+    thr_s = jnp.where(last > INT32_MIN, -last, INT32_MAX)
 
     # ---- un-sort rows to body order ----
     orig_b = jnp.broadcast_to(orig_s[:, None], (n, degree))

@@ -105,8 +105,10 @@ def main():
     w = run_steps(w, p, c, 100)
     margin = p.bp_margin
     variants = {
-        "slack m=.04 (AABB+chord)": Anchor(sphere=False),
-        "slack m=.04 (sphere)": Anchor(sphere=True),
+        "slack m=.12 (sphere)": (Anchor(sphere=True), 0.12),
+        "slack m=.20 (sphere)": (Anchor(sphere=True), 0.20),
+        "slack m=.30 (sphere)": (Anchor(sphere=True), 0.30),
+        "slack m=.20 (AABB+chord)": (Anchor(sphere=False), 0.20),
     }
     counts = dict.fromkeys(variants, 0)
     degree = {}
@@ -120,15 +122,15 @@ def main():
         half = np.asarray(w.bodies.size).reshape(3, -1) * 0.5
         real = rad > 0
         wh = world_halves_np(quat, half)
-        for name, a in variants.items():
+        for name, (a, mg) in variants.items():
             if a.pos is None or a.fires(pos, quat, rad, dyn):
-                a.refresh(pos, quat, wh, rad, dyn, real, margin)
+                a.refresh(pos, quat, wh, rad, dyn, real, mg)
                 counts[name] += 1
                 n = pos.shape[1]
                 ext = np.broadcast_to(rad, (3, n)) if a.sphere else wh
                 gap = np.max(
                     np.abs(pos[:, :, None] - pos[:, None, :])
-                    - (ext[:, :, None] + ext[:, None, :]), axis=0) - margin
+                    - (ext[:, :, None] + ext[:, None, :]), axis=0) - mg
                 np.fill_diagonal(gap, 1e9)
                 cand = (gap <= 0) & (real[:, None] & real[None, :]) & dyn[:, None]
                 degree.setdefault(name, []).append(int(cand.sum(1).max()))
